@@ -1,0 +1,142 @@
+"""Tri-plane feature sampling (XLA path).
+
+TPU-native re-design of the reference's tri-plane ops
+(reference: libraries/triplane/sampling.py:9-127 and
+cuda_extension/TriplaneSampler_kernel.cu). Design differences, deliberate:
+
+* The reference packs B tri-planes side-by-side into one wide plane and
+  gathers only "valid" (bone, point) pairs with dynamic-shape
+  gather/scatter_add (sampling.py:34-38, 99-123). Under XLA we keep static
+  shapes: batching is a plain leading axis, and validity is a multiplicative
+  mask. Invalid positions are placed at coordinate 2 (outside every plane) so
+  zeros-padding makes them contribute nothing — the same masked semantics the
+  reference's sparse path computes.
+* The CUDA fused gather-sum kernel (TriplaneSampler.cpp:20) is replaced by
+  the Pallas kernel in ``ops/triplane_pallas.py``; this module is the
+  correctness reference and CPU fallback.
+
+Plane coordinate convention (matches sampling.py:30 / kernel.cu:37-38):
+plane 0 is indexed by (x, y), plane 1 by (y, z), plane 2 by (z, x), where the
+first coordinate of the pair is the grid-sample x (width) axis.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from enarf_gan_tpu.ops.activation import straight_through_clamp
+from enarf_gan_tpu.ops.grid_sample import grid_sample_2d
+
+# (x,y), (y,z), (z,x) index pairs for the three planes
+PLANE_COORDS = ((0, 1), (1, 2), (2, 0))
+
+
+def sample_feature(tri_plane_features: jnp.ndarray, position: jnp.ndarray,
+                   reduction: str = "sum", clamp_mask: bool = False) -> jnp.ndarray:
+    """Sample tri-plane features at 3-D positions.
+
+    Args:
+        tri_plane_features: (B, F*3, H, W) — three F-channel planes stacked.
+        position: (B, 3, n) in [-1, 1] (out-of-range samples → 0).
+        reduction: "sum" (features) or "prod" (sigmoid-product part prob).
+        clamp_mask: straight-through clamp of logits before sigmoid (prod only).
+    Returns:
+        (B, F, n).
+    """
+    B, C3, H, W = tri_plane_features.shape
+    F = C3 // 3
+    n = position.shape[-1]
+    planes = tri_plane_features.reshape(B * 3, F, H, W)
+    # 2-D coords per plane: (B, 3planes, n, 2) → (B*3, n, 2)
+    coords = jnp.stack(
+        [jnp.stack([position[:, i], position[:, j]], axis=-1) for i, j in PLANE_COORDS],
+        axis=1).reshape(B * 3, n, 2)
+    feat = grid_sample_2d(planes, coords).reshape(B, 3, F, n)
+    if reduction == "sum":
+        return feat.sum(axis=1)
+    elif reduction == "prod":
+        if clamp_mask:
+            feat = straight_through_clamp(feat)
+        return jax.nn.sigmoid(feat).prod(axis=1)
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def sample_triplane_part_prob(tri_plane_weights: jnp.ndarray, position: jnp.ndarray,
+                              position_validity: Optional[jnp.ndarray] = None,
+                              mode: str = "prod", clamp_mask: bool = False) -> jnp.ndarray:
+    """Per-part probability from per-bone mask tri-planes.
+
+    Matches reference sampling.py:54-76.
+
+    Args:
+        tri_plane_weights: (B*n_bone, 3, H, W) — one 1-channel tri-plane per bone.
+        position: (B, n_bone, 3, n).
+        position_validity: (B, n_bone, n) bool, used by "sum" mode softmax.
+    Returns:
+        (B, n_bone, n) weights.
+    """
+    bs, n_bone, _, n = position.shape
+    pos = position.reshape(bs * n_bone, 3, n)
+    if mode == "prod":
+        w = sample_feature(tri_plane_weights, pos, reduction="prod", clamp_mask=clamp_mask)
+        return w.reshape(bs, n_bone, n)
+    elif mode == "sum":
+        w = sample_feature(tri_plane_weights, pos, reduction="sum", clamp_mask=clamp_mask)
+        w = w.reshape(bs, n_bone, n)
+        w = w - (~position_validity) * 1e4
+        return jax.nn.softmax(w, axis=1)
+    else:
+        return jnp.full((bs, n_bone, n), 1.0 / n_bone, position.dtype)
+
+
+def sample_weighted_feature(feat_dim: int, tri_plane_features: jnp.ndarray,
+                            position: jnp.ndarray, weight: jnp.ndarray,
+                            position_validity: jnp.ndarray,
+                            clamp_mask: bool = False,
+                            use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """Validity-masked, part-weighted sum of tri-plane features over bones.
+
+    Dense static-shape equivalent of reference sampling.py:79-127
+    (``sample_weighted_feature_v2``): for every valid (bone, point) pair,
+    sample the shared feature tri-plane at the bone-canonical position,
+    multiply by the part weight, and sum over bones.
+
+    Args:
+        feat_dim: F (=32).
+        tri_plane_features: (B, F*3, H, W) shared feature planes.
+        position: (B, n_bone, 3, n) canonical positions (invalid already at 2).
+        weight: (B, n_bone, n) part weights.
+        position_validity: (B, n_bone, n) bool.
+    Returns:
+        (B, F, n) float32.
+    """
+    if use_pallas is None:
+        use_pallas = _pallas_available()
+    if use_pallas:
+        try:
+            from enarf_gan_tpu.ops.triplane_pallas import fused_weighted_sample
+        except ImportError:
+            fused_weighted_sample = None
+        if fused_weighted_sample is not None:
+            return fused_weighted_sample(tri_plane_features, position, weight,
+                                         position_validity, clamp_mask=clamp_mask)
+    bs, n_bone, _, n = position.shape
+    # fold bones into the batch axis of the (shared) planes
+    planes = jnp.broadcast_to(tri_plane_features[:, None],
+                              (bs, n_bone) + tri_plane_features.shape[1:])
+    planes = planes.reshape(bs * n_bone, *tri_plane_features.shape[1:])
+    feat = sample_feature(planes, position.reshape(bs * n_bone, 3, n),
+                          reduction="sum", clamp_mask=clamp_mask)
+    feat = feat.reshape(bs, n_bone, feat_dim, n)
+    w = (weight * position_validity).astype(feat.dtype)
+    return jnp.einsum("bkfn,bkn->bfn", feat, w)
+
+
+def _pallas_available() -> bool:
+    import jax
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

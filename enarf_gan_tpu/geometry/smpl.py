@@ -109,10 +109,16 @@ def smpl_pose_transforms(betas: jnp.ndarray, full_pose: jnp.ndarray,
 
 
 def move_to_origin(bone_pose: np.ndarray, scale: float = 0.5) -> np.ndarray:
-    """Hip-center and scale the skeleton (reference smpl_utils.py:131-137)."""
+    """Hip-center and scale the skeleton translations (reference smpl_utils.py:131-137).
+
+    Only the translation column is affected (the reference function is never
+    called; its whole-matrix add/scale would corrupt rotations).
+    """
     left_hip, right_hip = 1, 2
-    trans = -bone_pose[:, [left_hip, right_hip], :3, 3].mean(axis=1)
-    return (bone_pose + trans) * scale
+    out = bone_pose.copy()
+    trans = out[:, [left_hip, right_hip], :3, 3].mean(axis=1, keepdims=True)
+    out[:, :, :3, 3] = (out[:, :, :3, 3] - trans) * scale
+    return out
 
 
 def axis_transformation(bone_pose: np.ndarray,
@@ -127,7 +133,8 @@ def canonical_pose_from_rest_joints(rest_joints: np.ndarray,
     """Zero-pose canonical transforms from rest joint locations.
 
     Equivalent to data_preprocess/prepare_canonical_pose.py in the reference:
-    identity rotations, translations = hip-centered x0.5 joint positions.
+    identity rotations, translations = hip-centered joint positions (the
+    reference centers on the mean of left/right hip without scaling).
     Used both by the real pipeline (given SMPL rest joints) and as the test
     fixture generator.
     """
@@ -135,5 +142,5 @@ def canonical_pose_from_rest_joints(rest_joints: np.ndarray,
         parents = SMPL_PARENTS
     J = rest_joints.shape[0]
     pose = np.tile(np.eye(4, dtype=np.float32)[None], (J, 1, 1))
-    pose[:, :3, 3] = rest_joints
-    return move_to_origin(pose[None])[0].astype(np.float32)
+    pose[:, :3, 3] = rest_joints - rest_joints[[1, 2]].mean(axis=0, keepdims=True)
+    return pose.astype(np.float32)

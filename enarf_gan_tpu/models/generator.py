@@ -1,0 +1,334 @@
+"""Image-level generators: TriNARFGenerator (GAN) and DSONARFGenerator.
+
+TPU-native re-design of reference models/generator.py:14-300. Both are pure
+flax modules; RNG is threaded explicitly; the reference's
+``buffers_tensors`` (fine_weights / fine_depth / tri_plane_feature) are
+returned in an ``aux`` dict.
+
+Full-image rendering lives in module-level functions that scan jit-compiled
+fixed-size ray chunks (reference rendering.py:362-427's python loop).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from enarf_gan_tpu.geometry.encoding import scalar_positional_encoding
+from enarf_gan_tpu.geometry.pose import transform_pose, transform_canonical_pose
+from enarf_gan_tpu.models.narf import NARFParams, TriPlaneNARF, MLPNARF
+from enarf_gan_tpu.nerf.ray_sampler import (image_grid_coords, mask_based_sampler)
+from enarf_gan_tpu.nerf.rendering import (RenderConfig, render_rays,
+                                          render_entire_img)
+from enarf_gan_tpu.nn.stylegan2 import StyleGAN2Generator
+
+
+def _model_num_bone(num_bone: int, origin_location: str) -> int:
+    """reference libraries/NARF/base.py:16."""
+    return num_bone - 1 if origin_location in ("center", "center_fixed") else num_bone
+
+
+def pose_encoding(pose: jnp.ndarray) -> jnp.ndarray:
+    """Root-relative rotations → (B, (num_joint-1)*9)
+    (reference models/generator.py:192-203)."""
+    rot = pose[:, 1:, :3, :3]
+    root = jnp.broadcast_to(pose[:, :1, :3, :3], rot.shape)
+    enc = jnp.einsum("bkji,bkjl->bkil", root, rot,
+                     precision=jax.lax.Precision.HIGHEST)  # root^T @ rot
+    return enc.reshape(enc.shape[0], -1)
+
+
+class DSONARFGenerator(nn.Module):
+    """Dynamic-scene-overfitting generator (reference models/generator.py:143-300)."""
+    nerf_params: NARFParams
+    size: int
+    num_bone: int                      # joints (24)
+    parent_id: Tuple[int, ...]
+    use_triplane: bool = True
+    ray_batchsize: int = 4096
+
+    @property
+    def z_dim(self) -> int:
+        z = 0
+        if self.nerf_params.time_conditional:
+            z += 20
+        if self.nerf_params.pose_conditional:
+            z += (self.num_bone - 1) * 9
+        return z
+
+    @property
+    def model_num_bone(self) -> int:
+        return _model_num_bone(self.num_bone, self.nerf_params.origin_location)
+
+    def setup(self):
+        cls = TriPlaneNARF if self.use_triplane else MLPNARF
+        self.nerf = cls(self.nerf_params, z_dim=self.z_dim, z2_dim=self.z_dim,
+                        num_bone=self.model_num_bone, parent_id=self.parent_id)
+
+    # ---------------------------------------------------------------- #
+    def get_latents(self, frame_time: jnp.ndarray,
+                    pose_to_camera: jnp.ndarray) -> jnp.ndarray:
+        """PE(frame_time) ⊕ pose encoding (reference generator.py:205-217)."""
+        zs = []
+        if self.nerf_params.time_conditional:
+            zs.append(scalar_positional_encoding(frame_time, 10))
+        if self.nerf_params.pose_conditional:
+            zs.append(pose_encoding(pose_to_camera))
+        assert zs, "DSO model needs time and/or pose conditioning"
+        return jnp.concatenate(zs, axis=1)
+
+    def transform_pose(self, pose_to_camera, bone_length):
+        return transform_pose(pose_to_camera, bone_length,
+                              self.nerf_params.origin_location,
+                              np.asarray(self.parent_id))
+
+    def render_cfg(self) -> RenderConfig:
+        p = self.nerf_params
+        return RenderConfig(Nc=p.Nc, Nf=p.Nf,
+                            coordinate_scale=p.coordinate_scale,
+                            view_dependent=p.view_dependent)
+
+    def compute_tri_plane_feature(self, z, bone_length_t, truncation_psi=1.0):
+        return self.nerf.compute_tri_plane_feature(z, bone_length_t,
+                                                   truncation_psi)
+
+    def nerf_density_color(self, points, pose_scaled, bone_length_t, z_or_planes,
+                           z_rend, ray_direction):
+        if self.use_triplane:
+            d, c, _ = self.nerf.density_color(points, pose_scaled, bone_length_t,
+                                              z_or_planes, z_rend, ray_direction)
+        else:
+            d, c, _ = self.nerf.density_color(points, pose_scaled, bone_length_t,
+                                              z_or_planes, z_rend, ray_direction)
+        return d, c
+
+    def __call__(self, rng: jax.Array, pose_to_camera, camera_pose, mask,
+                 frame_time, bone_length, inv_intrinsics,
+                 background: Optional[float] = None):
+        """Sparse training render (reference generator.py:219-254).
+
+        Returns (color (B,3,n), mask (B,n), ray_idx (B,n), aux).
+        """
+        rng_rays, rng_fine = jax.random.split(rng)
+        ray_idx, img_coord = mask_based_sampler(rng_rays, mask, self.ray_batchsize)
+        z = self.get_latents(frame_time, pose_to_camera)
+        pose_t, bl_t = self.transform_pose(pose_to_camera, bone_length)
+
+        if self.use_triplane:
+            cond = self.compute_tri_plane_feature(z, bl_t)
+        else:
+            cond = z
+
+        def fn(points, ray_dir, pose_scaled):
+            return self.nerf_density_color(points, pose_scaled, bl_t, cond, z,
+                                           ray_dir)
+
+        color, nerf_mask, disparity, aux = render_rays(
+            rng_fine, fn, img_coord, pose_t, inv_intrinsics, self.render_cfg(),
+            camera_pose=camera_pose)
+        if background is None:
+            background = -1.0
+        color = color + background * (1 - nerf_mask[:, None])
+        return color, nerf_mask, ray_idx, aux
+
+
+class TriNARFGenerator(nn.Module):
+    """Pose-conditioned GAN generator with tri-plane NARF foreground and
+    StyleGAN2 background (reference models/generator.py:14-140)."""
+    nerf_params: NARFParams
+    size: int
+    num_bone: int                      # joints (24)
+    parent_id: Tuple[int, ...]
+    z_dim: int = 256
+    crop_background: bool = False
+    black_background: bool = False
+    background_ratio: float = 0.7
+
+    @property
+    def model_num_bone(self) -> int:
+        return _model_num_bone(self.num_bone, self.nerf_params.origin_location)
+
+    def setup(self):
+        self.nerf = TriPlaneNARF(self.nerf_params, z_dim=self.z_dim * 2,
+                                 z2_dim=self.z_dim,
+                                 num_bone=self.model_num_bone,
+                                 parent_id=self.parent_id)
+        if not self.black_background:
+            self.background_generator = StyleGAN2Generator(
+                size=self.size, style_dim=self.z_dim, n_mlp=4, out_channels=3,
+                crop_background=self.crop_background)
+
+    def split_z(self, z: jnp.ndarray):
+        """z (B, 4*z_dim) → (2z nerf, z render, z background)
+        (reference generator.py:74-79)."""
+        zd = z.shape[1] // (3 if self.black_background else 4)
+        if self.black_background:
+            return z[:, :zd * 2], z[:, zd * 2:], None
+        return z[:, :zd * 2], z[:, zd * 2: zd * 3], z[:, zd * 3:]
+
+    def transform_pose(self, pose_to_camera, bone_length):
+        return transform_pose(pose_to_camera, bone_length,
+                              self.nerf_params.origin_location,
+                              np.asarray(self.parent_id))
+
+    def render_cfg(self) -> RenderConfig:
+        p = self.nerf_params
+        return RenderConfig(Nc=p.Nc, Nf=p.Nf,
+                            coordinate_scale=p.coordinate_scale,
+                            view_dependent=p.view_dependent)
+
+    def compute_tri_plane_feature(self, z_nerf, bone_length_t, truncation_psi=1.0,
+                                  update_w_avg: bool = False):
+        return self.nerf.compute_tri_plane_feature(z_nerf, bone_length_t,
+                                                   truncation_psi, update_w_avg)
+
+    def nerf_density_color(self, points, pose_scaled, bone_length_t, planes,
+                           z_rend, ray_direction):
+        d, c, _ = self.nerf.density_color(points, pose_scaled, bone_length_t,
+                                          planes, z_rend, ray_direction)
+        return d, c
+
+    def background(self, z_bg, z_rend, rng=None, train: bool = False):
+        """(reference generator.py:101-104): style-mixed background at
+        inject_index n_latent-4."""
+        n_latent = self.background_generator.n_latent
+        crop_rng = noise_rng = None
+        if rng is not None:
+            crop_rng, noise_rng = jax.random.split(rng)
+        return self.background_generator([z_bg, z_rend],
+                                         inject_index=n_latent - 4,
+                                         noise_rng=noise_rng,
+                                         crop_rng=crop_rng, train=train)
+
+    def __call__(self, rng: jax.Array, pose_to_camera, pose_to_world,
+                 bone_length, z, inv_intrinsics, truncation_psi=1.0,
+                 black_bg_if_possible: bool = False, return_disparity: bool = False,
+                 train: bool = False):
+        """Generate an image from pose (reference generator.py:56-118).
+
+        Returns (rendered_color (B,3,H,W), fg_mask (B,H,W), aux) where aux
+        holds fine_weights / fine_depth / tri_plane_feature / disparity / bg.
+        """
+        B = pose_to_camera.shape[0]
+        rng_fine, rng_bg = jax.random.split(rng)
+        _, img_coord = image_grid_coords(self.size, self.size, B)
+
+        z_nerf, z_rend, z_bg = self.split_z(z)
+        pose_t, bl_t = self.transform_pose(pose_to_camera, bone_length)
+        planes = self.compute_tri_plane_feature(z_nerf, bl_t, truncation_psi,
+                                                update_w_avg=train)
+
+        def fn(points, ray_dir, pose_scaled):
+            return self.nerf_density_color(points, pose_scaled, bl_t, planes,
+                                           z_rend, ray_dir)
+
+        fg_color, fg_mask, disparity, raux = render_rays(
+            rng_fine, fn, img_coord, pose_t, inv_intrinsics, self.render_cfg(),
+            camera_pose=None)
+        fg_color = fg_color.reshape(B, 3, self.size, self.size)
+        fg_mask = fg_mask.reshape(B, self.size, self.size)
+
+        if not self.black_background and not black_bg_if_possible:
+            bg_color = self.background(z_bg, z_rend, rng_bg, train=train)
+        else:
+            bg_color = jnp.float32(-1.0)
+
+        rendered = fg_color + (1 - fg_mask[:, None]) * bg_color
+        aux = {"fine_weights": raux["fine_weights"],
+               "fine_depth": raux["fine_depth"],
+               "tri_plane_feature": planes,
+               "fg_color": fg_color,
+               "bg_color": bg_color}
+        if return_disparity:
+            aux["disparity"] = (disparity.reshape(B, self.size, self.size)
+                                * self.nerf_params.coordinate_scale)
+        return rendered, fg_mask, aux
+
+
+# ---------------------------------------------------------------------- #
+# registration + full-image rendering helpers
+# ---------------------------------------------------------------------- #
+
+def register_canonical_pose(variables, canonical_pose: np.ndarray,
+                            origin_location: str, parent_id) -> dict:
+    """Fill the model's canonical-pose buffers from a (24, 4, 4) canonical
+    pose array (reference models/narf.py:84-120).
+
+    Works on any variables pytree containing 'buffers' leaves named
+    canonical_pose / canonical_bone_length (at any nesting depth).
+    """
+    canon, length = transform_canonical_pose(np.asarray(canonical_pose),
+                                             np.asarray(parent_id),
+                                             origin_location)
+
+    def fill(tree):
+        out = {}
+        for k, v in tree.items():
+            if k == "canonical_pose":
+                assert v.shape == canon.shape, (v.shape, canon.shape)
+                out[k] = jnp.asarray(canon)
+            elif k == "canonical_bone_length":
+                assert v.shape == length.shape, (v.shape, length.shape)
+                out[k] = jnp.asarray(length)
+            elif isinstance(v, dict):
+                out[k] = fill(v)
+            else:
+                out[k] = v
+        return out
+
+    variables = dict(variables)
+    assert "buffers" in variables, "model has no canonical-pose buffers"
+    variables["buffers"] = fill(dict(variables["buffers"]))
+    return variables
+
+
+def dso_render_entire_img(gen: DSONARFGenerator, variables, rng,
+                          pose_to_camera, inv_intrinsics, frame_time,
+                          bone_length, camera_pose=None, render_size: int = 128,
+                          ray_batchsize: Optional[int] = None,
+                          use_normalized_intrinsics: bool = False, bbox=None):
+    """Full-image DSO inference (reference generator.py:256-278): tri-plane
+    computed once, then chunked ray scan."""
+    z = gen.apply(variables, frame_time, pose_to_camera, method="get_latents")
+    pose_t, bl_t = gen.apply(variables, pose_to_camera, bone_length,
+                             method="transform_pose")
+    if gen.use_triplane:
+        cond = gen.apply(variables, z, bl_t, method="compute_tri_plane_feature")
+    else:
+        cond = z
+
+    def fn(points, ray_dir, pose_scaled):
+        return gen.apply(variables, points, pose_scaled, bl_t, cond, z, ray_dir,
+                         method="nerf_density_color")
+
+    cfg = gen.render_cfg()
+    rb = ray_batchsize or gen.nerf_params.render_bs
+    return render_entire_img(rng, fn, pose_t, inv_intrinsics, cfg, render_size,
+                             ray_batchsize=rb, camera_pose=camera_pose,
+                             use_normalized_intrinsics=use_normalized_intrinsics,
+                             bbox=bbox)
+
+
+def gan_render_entire_img(gen: TriNARFGenerator, variables, rng, pose_to_camera,
+                          bone_length, z, inv_intrinsics, truncation_psi=1.0,
+                          render_size: Optional[int] = None,
+                          ray_batchsize: Optional[int] = None):
+    """Full-image GAN foreground render (used by demos/eval at higher res)."""
+    z_nerf, z_rend, _ = gen.split_z(z)
+    pose_t, bl_t = gen.apply(variables, pose_to_camera, bone_length,
+                             method="transform_pose")
+    planes = gen.apply(variables, z_nerf, bl_t, truncation_psi,
+                       method="compute_tri_plane_feature")
+
+    def fn(points, ray_dir, pose_scaled):
+        return gen.apply(variables, points, pose_scaled, bl_t, planes, z_rend,
+                         ray_dir, method="nerf_density_color")
+
+    cfg = gen.render_cfg()
+    rb = ray_batchsize or gen.nerf_params.render_bs
+    return render_entire_img(rng, fn, pose_t, inv_intrinsics, cfg,
+                             render_size or gen.size, ray_batchsize=rb)

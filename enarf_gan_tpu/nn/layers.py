@@ -25,7 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-_MATMUL_PREC = jax.lax.Precision.DEFAULT
+# Matmul precision: None defers to jax_default_matmul_precision (bf16-in/f32-acc
+# on TPU by default — the fast MXU path; tests pin "float32" for golden parity).
+_MATMUL_PREC = None
 
 
 def fused_leaky_relu(x: jnp.ndarray, bias: Optional[jnp.ndarray] = None,

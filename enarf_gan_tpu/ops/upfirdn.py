@@ -34,7 +34,9 @@ def upfirdn2d(x: jnp.ndarray, kernel: np.ndarray, up: int = 1, down: int = 1,
     kh, kw = kernel.shape
     kern = jnp.asarray(kernel, x.dtype)[None, None].repeat(C, axis=0)  # (C,1,kh,kw)
     pad0, pad1 = int(pad[0]), int(pad[1])
-    # upfirdn zero-pads the *dilated* signal; negative padding crops.
+    # torch's upfirdn zero-inserts to length in*up (up-1 trailing zeros);
+    # lhs_dilation yields in*up-(up-1), so fold the difference into pad_after.
+    pad1 = pad1 + (up - 1)
     return lax.conv_general_dilated(
         x, kern,
         window_strides=(down, down),

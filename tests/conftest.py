@@ -11,6 +11,14 @@ os.environ.setdefault("XLA_FLAGS",
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# The axon sitecustomize registers a remote-TPU backend at interpreter start
+# and overrides jax_platforms; without this, every test compile ships over
+# the single TPU tunnel (serialized, ~100x slower). Force local CPU.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,81 @@
+"""Volume-render throughput benchmark (runs on the real TPU chip).
+
+Workload: DSO-demo-style full-image render of a 24-joint articulated
+tri-plane NARF at reference scale — Nc=48 coarse + Nf=64 fine samples per ray,
+256² tri-planes, 23 bone frames (configs/DSO_train/NeuralActor/lan_denarf.yml,
+DSO_demo.py:23). Reports Mrays/sec on one chip.
+
+Prints ONE JSON line:
+    {"metric": "volume_render_mrays_per_sec", "value": N, "unit": "Mrays/s",
+     "vs_baseline": N / 50.0}
+baseline = the 50 Mrays/s/chip north-star from BASELINE.json (the reference
+publishes no throughput numbers — SURVEY.md §6).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from enarf_gan_tpu.models.narf import NARFParams
+    from enarf_gan_tpu.models.generator import (DSONARFGenerator,
+                                                register_canonical_pose,
+                                                dso_render_entire_img)
+    from enarf_gan_tpu.geometry.smpl import SMPL_PARENTS
+    from __graft_entry__ import _tiny_scene
+
+    render_size = int(os.environ.get("BENCH_RENDER_SIZE", 128))
+    ray_chunk = int(os.environ.get("BENCH_RAY_CHUNK", 4096))
+    Nc = int(os.environ.get("BENCH_NC", 48))
+    Nf = int(os.environ.get("BENCH_NF", 64))
+    reps = int(os.environ.get("BENCH_REPS", 5))
+
+    params = NARFParams(Nc=Nc, Nf=Nf, hidden_size=256, tri_plane_size=256,
+                        render_bs=ray_chunk, coordinate_scale=3.0,
+                        view_dependent=False, origin_location="center_fixed",
+                        deformation_field=True, time_conditional=True,
+                        pose_conditional=False)
+    gen = DSONARFGenerator(nerf_params=params, size=render_size, num_bone=24,
+                           parent_id=tuple(int(x) for x in SMPL_PARENTS),
+                           use_triplane=True, ray_batchsize=4096)
+
+    pose_cam, world, bl, inv_K, canonical, K = _tiny_scene(1, render_size)
+    rng = jax.random.PRNGKey(0)
+    ft = jnp.array([0.5], jnp.float32)
+    variables = gen.init(rng, rng, jnp.asarray(pose_cam),
+                         jnp.asarray(world[:, 0, :3, :3]),
+                         jnp.ones((1, render_size, render_size)), ft,
+                         jnp.asarray(bl), jnp.asarray(inv_K))
+    variables = register_canonical_pose(variables, canonical, "center_fixed",
+                                        np.asarray(SMPL_PARENTS))
+
+    def render_once(seed):
+        return dso_render_entire_img(
+            gen, variables, jax.random.PRNGKey(seed), jnp.asarray(pose_cam),
+            jnp.asarray(inv_K), ft, jnp.asarray(bl), camera_pose=None,
+            render_size=render_size, ray_batchsize=ray_chunk)
+
+    # warmup / compile
+    out = render_once(0)
+    jax.block_until_ready(out)
+
+    n_rays = render_size * render_size
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = render_once(i + 1)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    mrays = n_rays * reps / dt / 1e6
+    baseline = 50.0  # Mrays/s/chip north star (BASELINE.json)
+    print(json.dumps({"metric": "volume_render_mrays_per_sec",
+                      "value": round(mrays, 3), "unit": "Mrays/s",
+                      "vs_baseline": round(mrays / baseline, 4)}))
+
+
+if __name__ == "__main__":
+    main()

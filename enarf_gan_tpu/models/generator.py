@@ -147,6 +147,7 @@ class TriNARFGenerator(nn.Module):
     crop_background: bool = False
     black_background: bool = False
     background_ratio: float = 0.7
+    channel_max: int = 512
 
     @property
     def model_num_bone(self) -> int:
@@ -160,7 +161,8 @@ class TriNARFGenerator(nn.Module):
         if not self.black_background:
             self.background_generator = StyleGAN2Generator(
                 size=self.size, style_dim=self.z_dim, n_mlp=4, out_channels=3,
-                crop_background=self.crop_background)
+                crop_background=self.crop_background,
+                channel_max=self.channel_max)
 
     def split_z(self, z: jnp.ndarray):
         """z (B, 4*z_dim) → (2z nerf, z render, z background)

@@ -64,6 +64,9 @@ class NARFParams:
     tri_plane_size: int = 256
     feat_dim: int = 32
     w_dim: int = 512
+    # top-M sparse bone gather (ops/triplane.py sample_weighted_feature_topm);
+    # None/num_bone = exact dense. 4 covers real cube overlaps.
+    max_bones_per_point: int = 4
 
     @classmethod
     def from_config(cls, nerf_params, view_dependent: Optional[bool] = None):
@@ -92,8 +95,12 @@ class NARFParams:
             deformation_field=bool(get("deformation_field", False)),
             selector_mlp=bool(get("selector_mlp", False)),
             no_selector=bool(get("no_selector", False)),
+            max_bones_per_point=int(get("max_bones_per_point", 4)),
             time_conditional=bool(get("time_conditional", False)),
             pose_conditional=bool(get("pose_conditional", False)),
+            tri_plane_size=int(get("tri_plane_size", 256)),
+            feat_dim=int(get("feat_dim", 32)),
+            w_dim=int(get("w_dim", 512)),
         )
 
 
@@ -161,7 +168,8 @@ class TriPlaneNARF(nn.Module):
         def sg(out_ch):
             return StyleGAN2Generator(size=ts, style_dim=p.w_dim, n_mlp=8,
                                       out_channels=out_ch, c_dim=c_dim,
-                                      use_noise=False)
+                                      use_noise=False,
+                                      channel_max=max(p.w_dim, 64))
 
         if p.constant_triplane:
             self.tri_plane = self.param("tri_plane", nn.initializers.zeros,
@@ -311,7 +319,8 @@ class TriPlaneNARF(nn.Module):
 
         feature = sample_weighted_feature(
             p.feat_dim, tri_plane_feature[:, :fch], masked_pos, weight,
-            validity, clamp_mask=p.clamp_mask)  # (B, 32, n)
+            validity, clamp_mask=p.clamp_mask,
+            max_bones=p.max_bones_per_point)  # (B, 32, n)
 
         density, color = self.heads(feature, z_rend, ray_direction)
         if p.multiply_density_with_triplane_weight:

@@ -37,13 +37,15 @@ from enarf_gan_tpu.ops.upfirdn import make_blur_kernel, upfirdn2d
 BLUR_KERNEL = (1, 3, 3, 1)
 
 
-def channels_dict(channel_multiplier: int = 2) -> dict:
+def channels_dict(channel_multiplier: int = 2, channel_max: int = 512) -> dict:
     """Per-resolution channel counts (reference net.py:376-386; identical to
-    stylegan2-ada's channel_base=32768 schedule for <=256 at multiplier 2)."""
-    return {4: 512, 8: 512, 16: 512, 32: 512,
+    stylegan2-ada's channel_base=32768 schedule for <=256 at multiplier 2).
+    ``channel_max`` caps widths (tests / memory tuning)."""
+    base = {4: 512, 8: 512, 16: 512, 32: 512,
             64: 256 * channel_multiplier, 128: 128 * channel_multiplier,
             256: 64 * channel_multiplier, 512: 32 * channel_multiplier,
             1024: 16 * channel_multiplier}
+    return {k: min(v, channel_max) for k, v in base.items()}
 
 
 class MappingNetwork(nn.Module):
@@ -164,6 +166,7 @@ class SynthesisNetwork(nn.Module):
     channel_multiplier: int = 2
     wide: bool = False          # crop_background: 2x-wide constant input
     use_noise: bool = True
+    channel_max: int = 512
 
     @property
     def n_latent(self) -> int:
@@ -173,7 +176,7 @@ class SynthesisNetwork(nn.Module):
     def __call__(self, latent: jnp.ndarray,
                  noise_rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """latent: (B, n_latent, style_dim) per-layer styles → (B, C, H, W[*2])."""
-        ch = channels_dict(self.channel_multiplier)
+        ch = channels_dict(self.channel_multiplier, self.channel_max)
         log_size = int(math.log2(self.size))
         B = latent.shape[0]
         size2 = 8 if self.wide else 4
@@ -217,13 +220,15 @@ class StyleGAN2Generator(nn.Module):
     c_dim: int = 0
     crop_background: bool = False
     use_noise: bool = True
+    channel_max: int = 512
 
     def setup(self):
         self.mapping = MappingNetwork(self.style_dim, self.n_mlp, c_dim=self.c_dim)
         self.synthesis = SynthesisNetwork(self.size, self.out_channels,
                                           self.channel_multiplier,
                                           wide=self.crop_background,
-                                          use_noise=self.use_noise)
+                                          use_noise=self.use_noise,
+                                          channel_max=self.channel_max)
 
     @property
     def n_latent(self) -> int:
@@ -321,10 +326,11 @@ class Discriminator(nn.Module):
     minibatch_std: bool = True
     stddev_group: int = 4
     axis_name: Optional[str] = None
+    channel_max: int = 512
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        ch = channels_dict(self.channel_multiplier)
+        ch = channels_dict(self.channel_multiplier, self.channel_max)
         log_size = int(math.log2(self.size))
         h = ConvLayer(ch[self.size], 1, name="from_rgb")(x)
         for i in range(log_size, 2, -1):
@@ -337,7 +343,8 @@ class Discriminator(nn.Module):
             if self.axis_name is not None:
                 var = jax.lax.pmean(var, self.axis_name)
             stddev = jnp.sqrt(var + 1e-8)          # (B//group, 1, C, H, W)
-            stddev = stddev.mean(axis=(2, 3, 4), keepdims=True)[:, :, 0, :, 0]
+            stddev = stddev.mean(axis=(2, 3, 4), keepdims=True)  # (B//g,1,1,1,1)
+            stddev = stddev[:, :, 0]               # (B//group, 1, 1, 1)
             stddev = jnp.tile(stddev, (group, 1, H, W))
             h = jnp.concatenate([h, stddev], axis=1)
         h = ConvLayer(ch[4], 3, name="final_conv")(h)

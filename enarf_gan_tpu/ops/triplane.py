@@ -91,11 +91,41 @@ def sample_triplane_part_prob(tri_plane_weights: jnp.ndarray, position: jnp.ndar
         return jnp.full((bs, n_bone, n), 1.0 / n_bone, position.dtype)
 
 
+def sample_weighted_feature_topm(feat_dim: int, tri_plane_features: jnp.ndarray,
+                                 position: jnp.ndarray, weight: jnp.ndarray,
+                                 position_validity: jnp.ndarray,
+                                 max_bones: int = 4,
+                                 clamp_mask: bool = False) -> jnp.ndarray:
+    """Top-M sparse variant of the weighted feature sum.
+
+    The static-shape counterpart of the reference's valid-pair gather
+    (sampling.py:99-123): bone cubes barely overlap, so per point only a few
+    bones are valid. Select the ``max_bones`` highest-weight valid bones per
+    point and sample features only for those — ~K/M less gather work, exact
+    whenever ≤ M bones are simultaneously valid (the overwhelmingly common
+    case; set max_bones=K for the exact dense result).
+    """
+    bs, n_bone, _, n = position.shape
+    M = min(max_bones, n_bone)
+    score = weight * position_validity  # (B, K, n)
+    top_w, top_idx = jax.lax.top_k(score.transpose(0, 2, 1), M)  # (B, n, M)
+    pos = position.transpose(0, 3, 1, 2)  # (B, n, K, 3)
+    top_pos = jnp.take_along_axis(pos, top_idx[..., None], axis=2)  # (B,n,M,3)
+    # invalid selections (score 0) sample at out-of-range coords → 0 feature
+    top_pos = jnp.where(top_w[..., None] > 0, top_pos, 2.0)
+    p = top_pos.transpose(0, 3, 1, 2).reshape(bs, 3, n * M)
+    feat = sample_feature(tri_plane_features, p, reduction="sum",
+                          clamp_mask=clamp_mask)  # (B, F, n*M)
+    feat = feat.reshape(bs, feat_dim, n, M)
+    return jnp.einsum("bfnm,bnm->bfn", feat, top_w)
+
+
 def sample_weighted_feature(feat_dim: int, tri_plane_features: jnp.ndarray,
                             position: jnp.ndarray, weight: jnp.ndarray,
                             position_validity: jnp.ndarray,
                             clamp_mask: bool = False,
-                            use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                            use_pallas: Optional[bool] = None,
+                            max_bones: Optional[int] = None) -> jnp.ndarray:
     """Validity-masked, part-weighted sum of tri-plane features over bones.
 
     Dense static-shape equivalent of reference sampling.py:79-127
@@ -112,6 +142,10 @@ def sample_weighted_feature(feat_dim: int, tri_plane_features: jnp.ndarray,
     Returns:
         (B, F, n) float32.
     """
+    if max_bones is not None and max_bones < position.shape[1]:
+        return sample_weighted_feature_topm(feat_dim, tri_plane_features,
+                                            position, weight, position_validity,
+                                            max_bones, clamp_mask)
     if use_pallas is None:
         use_pallas = _pallas_available()
     if use_pallas:

@@ -48,7 +48,7 @@ def init_state(config, gen: DSONARFGenerator, canonical_pose: np.ndarray,
         jnp.asarray(sample_batch["mask"]),
         jnp.asarray(sample_batch["frame_time"]),
         jnp.asarray(sample_batch["bone_length"]),
-        jnp.linalg.inv(jnp.asarray(sample_batch["intrinsics"])))
+        jnp.asarray(sample_batch["inv_intrinsics"]))
     variables = register_canonical_pose(
         variables, canonical_pose, gen.nerf_params.origin_location,
         np.asarray(gen.parent_id))

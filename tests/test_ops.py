@@ -159,3 +159,26 @@ def test_up_down_shapes(rng):
     const = jnp.ones((1, 1, 8, 8))
     up_c = np.array(upsample2x(const))
     np.testing.assert_allclose(up_c[0, 0, 4:-4, 4:-4], 1.0, rtol=1e-4)
+
+
+def test_topm_matches_dense_when_few_bones_valid(rng):
+    from enarf_gan_tpu.ops.triplane import sample_weighted_feature_topm
+    bs, n_bone, Fdim, H, n = 2, 6, 8, 16, 40
+    feats = rng.randn(bs, Fdim * 3, H, H).astype(np.float32)
+    pos = rng.uniform(-0.95, 0.95, (bs, n_bone, 3, n)).astype(np.float32)
+    # at most 3 bones valid per point
+    validity = np.zeros((bs, n_bone, n), bool)
+    for b in range(bs):
+        for i in range(n):
+            for k in rng.choice(n_bone, rng.randint(0, 4), replace=False):
+                validity[b, k, i] = True
+    masked_pos = np.where(validity[:, :, None], pos, 2.0).astype(np.float32)
+    weight = rng.rand(bs, n_bone, n).astype(np.float32)
+
+    dense = np.array(sample_weighted_feature(
+        Fdim, jnp.array(feats), jnp.array(masked_pos), jnp.array(weight),
+        jnp.array(validity), use_pallas=False))
+    topm = np.array(sample_weighted_feature_topm(
+        Fdim, jnp.array(feats), jnp.array(masked_pos), jnp.array(weight),
+        jnp.array(validity), max_bones=3))
+    np.testing.assert_allclose(topm, dense, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,119 @@
+"""End-to-end training smoke tests on synthetic data (SURVEY.md §4 implication:
+overfit smoke — a short DSO run must drive loss down; GAN steps must run and
+stay finite)."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from enarf_gan_tpu.config import AttrDict
+from enarf_gan_tpu.data.fixtures import make_synthetic_human_cache
+from enarf_gan_tpu.data.datasets import SSODataset, HumanDataset, HumanPoseDataset
+from enarf_gan_tpu.data.loader import DataLoader
+
+
+def tiny_dso_config(root, out_root):
+    return AttrDict({
+        "out_root": out_root, "out": "smoke_dso",
+        "dataset": {"bs": 2, "image_size": 32, "bg_color": -1, "num_workers": 1,
+                    "train": {"data_root": root, "n_frames": 3}},
+        "generator_params": {
+            "use_triplane": True, "ray_batchsize": 128,
+            "nerf_params": {
+                "w_dim": 32,
+                "hidden_size": 16, "Nc": 6, "Nf": 8, "no_ray_direction": True,
+                "origin_location": "center_fixed", "coordinate_scale": 3,
+                "render_bs": 256, "model_type": "narf",
+                "multiply_density_with_triplane_wieght": False,
+                "clamp_mask": False, "constant_triplane": False,
+                "constant_trimask": False, "selector_mlp": False,
+                "deformation_field": True, "no_selector": False,
+                "time_conditional": True, "pose_conditional": False,
+                "constant_trimask_lr_mul": 1, "tri_plane_size": 16},
+        },
+        "loss": {"color_coef": 1, "mask_coef": 1, "nerf_loss_type": "mse"},
+        "num_iter": 40, "lr": 0.01, "scheduler_gamma": 0.99995,
+        "val_interval": 1000, "print_interval": 1000,
+        "tensorboard_interval": 20, "save_interval": 20,
+        "resume": None, "resume_latest": False,
+    })
+
+
+def tiny_gan_config(root, out_root):
+    return AttrDict({
+        "out_root": out_root, "out": "smoke_gan",
+        "dataset": {"bs": 4, "image_size": 32, "num_workers": 1,
+                    "train": {"data_root": root, "pose_prior_root": None}},
+        "generator_params": {
+            "z_dim": 16, "patch_size": 24, "background_ratio": 0.3,
+            "use_triplane": True, "crop_background": True, "channel_max": 32,
+            "pretrained_background": False,
+            "nerf_params": {
+                "w_dim": 32,
+                "hidden_size": 16, "Nc": 4, "Nf": 4, "no_ray_direction": True,
+                "origin_location": "center_fixed", "coordinate_scale": 3,
+                "render_bs": 1024, "mask_input": False,
+                "multiply_density_with_triplane_wieght": False,
+                "clamp_mask": False, "constant_triplane": False,
+                "constant_trimask": False, "constant_trimask_lr_mul": 1,
+                "deformation_field": False, "selector_mlp": False,
+                "no_selector": False, "tri_plane_size": 16},
+        },
+        "discriminator_params": {"minibatch_std": True, "channel_max": 32},
+        "loss": {"adv_loss_type": "ce", "bone_guided_coef": 10,
+                 "r1_loss_coef": 0.01, "tri_plane_reg_coef": 0.001},
+        "num_iter": 5, "n_accum_step": 2,
+        "resume": None, "resume_latest": False,
+    })
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_synth")
+    make_synthetic_human_cache(str(root), size=32, n_frames=3, n_camera=2)
+    return str(root)
+
+
+def test_dso_overfit_smoke(synth_root, tmp_path):
+    from enarf_gan_tpu.training import dso
+    config = tiny_dso_config(synth_root, str(tmp_path))
+    train_ds = SSODataset(config.dataset.train, size=32, return_bone_params=True,
+                          return_mask=True, num_repeat_in_epoch=50)
+    loader = DataLoader(train_ds, config.dataset.bs, seed=0)
+    gen = dso.build_generator(config, train_ds.num_bone, train_ds.parents)
+    variables, opt_state, history = dso.train_loop(
+        config, gen, (train_ds, {}), (loader, {}), train_ds.canonical_pose,
+        verbose=False)
+    assert len(history) == 40
+    assert np.isfinite(history).all()
+    first = np.mean(history[:10])
+    last = np.mean(history[-10:])
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+    # checkpoint written
+    assert os.path.exists(os.path.join(config.out_root, "result", config.out,
+                                       "snapshot_latest.msgpack"))
+
+
+def test_gan_steps_smoke(synth_root, tmp_path):
+    from enarf_gan_tpu.training import gan
+    config = tiny_gan_config(synth_root, str(tmp_path))
+    img_ds = HumanDataset(AttrDict({"data_root": synth_root}), size=32,
+                          return_bone_params=False, num_repeat_in_epoch=10)
+    pose_ds = HumanPoseDataset(size=32, data_root=synth_root,
+                               num_repeat_in_epoch=10)
+    loader_img = DataLoader(img_ds, config.dataset.bs, seed=0)
+    loader_pose = DataLoader(pose_ds, config.dataset.bs, seed=1)
+    gen, dis = gan.build_models(config, pose_ds.num_bone, pose_ds.parents)
+    state, history = gan.train_loop(
+        config, gen, dis, (img_ds, pose_ds), (loader_img, loader_pose),
+        pose_ds.canonical_pose, verbose=False)
+    assert len(history) == 5
+    for h in history:
+        for k, v in h.items():
+            assert np.isfinite(v), (k, v)
+    # r1 ran at iteration 0
+    assert "r1_reg" in history[0]
+    out_dir = os.path.join(config.out_root, "result", config.out)
+    assert os.path.exists(os.path.join(out_dir, "real.png"))

@@ -310,21 +310,41 @@ class TriPlaneNARF(nn.Module):
         validity = in_cube(local)  # (B, K, n)
         validity = validity & (jnp.abs(canonical) < 1).all(axis=2)
         canonical_pts = canonical  # (B, K, 3, n)
-        masked_pos = jnp.where(validity[:, :, None], canonical_pts, 2.0)
-
         fch = p.feat_dim * 3
-        weight = self.calc_weight(
-            tri_plane_feature[:, fch:].reshape(bs * K, 3, ts, ts),
-            masked_pos, validity)
 
-        feature = sample_weighted_feature(
-            p.feat_dim, tri_plane_feature[:, :fch], masked_pos, weight,
-            validity, clamp_mask=p.clamp_mask,
-            max_bones=p.max_bones_per_point)  # (B, 32, n)
+        use_candidates = (p.max_bones_per_point < K and not p.no_selector
+                          and not p.selector_mlp)
+        if use_candidates:
+            # sparse fast path: gather mask probs AND features only for the
+            # M most-central valid bones (static-shape analog of the
+            # reference's valid-pair gather, sampling.py:99-123)
+            from enarf_gan_tpu.ops.triplane import (
+                select_candidate_bones, sample_part_prob_candidates,
+                sample_weighted_feature_candidates)
+            cand_idx, cand_valid, cand_pos = select_candidate_bones(
+                canonical_pts, validity, p.max_bones_per_point)
+            cand_w = sample_part_prob_candidates(
+                tri_plane_feature[:, fch:], cand_idx, cand_pos,
+                clamp_mask=p.clamp_mask)  # (B, n, M)
+            feature = sample_weighted_feature_candidates(
+                p.feat_dim, tri_plane_feature[:, :fch], cand_pos, cand_w,
+                cand_valid, clamp_mask=p.clamp_mask)  # (B, 32, n)
+            weight_max = (cand_w * cand_valid).max(axis=2)[:, None]  # (B,1,n)
+            weight = cand_w.transpose(0, 2, 1)  # (B, M, n) for aux
+        else:
+            masked_pos = jnp.where(validity[:, :, None], canonical_pts, 2.0)
+            weight = self.calc_weight(
+                tri_plane_feature[:, fch:].reshape(bs * K, 3, ts, ts),
+                masked_pos, validity)
+            feature = sample_weighted_feature(
+                p.feat_dim, tri_plane_feature[:, :fch], masked_pos, weight,
+                validity, clamp_mask=p.clamp_mask,
+                max_bones=None)  # (B, 32, n)
+            weight_max = weight.max(axis=1, keepdims=True)
 
         density, color = self.heads(feature, z_rend, ray_direction)
         if p.multiply_density_with_triplane_weight:
-            density = density_relu(density) * (10 * weight.max(axis=1, keepdims=True))
+            density = density_relu(density) * (10 * weight_max)
         else:
             density = density_relu(density) * 10
         density = density * validity.any(axis=1, keepdims=True)

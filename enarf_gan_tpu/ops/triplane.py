@@ -91,6 +91,108 @@ def sample_triplane_part_prob(tri_plane_weights: jnp.ndarray, position: jnp.ndar
         return jnp.full((bs, n_bone, n), 1.0 / n_bone, position.dtype)
 
 
+def select_candidate_bones(canonical_pos: jnp.ndarray, validity: jnp.ndarray,
+                           max_bones: int):
+    """Pick the M most-central valid bones per point.
+
+    Bone cubes barely overlap, so per point only a few bones are valid;
+    choosing by cube-centrality (1 - max|coord|) is deterministic and keeps
+    every valid bone whenever ≤ M are valid — in which case all downstream
+    results are exact.
+
+    Args:
+        canonical_pos: (B, K, 3, n) canonical coordinates.
+        validity: (B, K, n) bool.
+    Returns:
+        cand_idx (B, n, M) int32, cand_valid (B, n, M) bool,
+        cand_pos (B, n, M, 3).
+    """
+    B, K, _, n = canonical_pos.shape
+    M = min(max_bones, K)
+    centrality = 1.0 - jnp.abs(canonical_pos).max(axis=2)  # (B, K, n)
+    score = jnp.where(validity, 1.0 + centrality, -1.0)
+    top_s, top_idx = jax.lax.top_k(score.transpose(0, 2, 1), M)  # (B, n, M)
+    cand_valid = top_s > 0
+    pos = canonical_pos.transpose(0, 3, 1, 2)  # (B, n, K, 3)
+    cand_pos = jnp.take_along_axis(pos, top_idx[..., None], axis=2)
+    cand_pos = jnp.where(cand_valid[..., None], cand_pos, 2.0)
+    return top_idx.astype(jnp.int32), cand_valid, cand_pos
+
+
+def _bilinear_flat(table_flat: jnp.ndarray, base: jnp.ndarray, x: jnp.ndarray,
+                   y: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Bilinear sample of 1-channel planes stored flat.
+
+    table_flat: (T,) concatenated H*W planes; base: flat offset of each
+    sample's plane; x, y: pixel coords (grid_sample unnormalized). All index
+    arrays share one shape; returns that shape.
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    out = jnp.zeros_like(x)
+    for cx, cy, w in ((x0, y0, (1 - (x - x0)) * (1 - (y - y0))),
+                      ((x0 + 1), y0, (x - x0) * (1 - (y - y0))),
+                      (x0, (y0 + 1), (1 - (x - x0)) * (y - y0)),
+                      ((x0 + 1), (y0 + 1), (x - x0) * (y - y0))):
+        inb = (cx >= 0) & (cx <= W - 1) & (cy >= 0) & (cy <= H - 1)
+        idx = base + jnp.clip(cy, 0, H - 1).astype(jnp.int32) * W \
+            + jnp.clip(cx, 0, W - 1).astype(jnp.int32)
+        out = out + jnp.take(table_flat, idx) * (w * inb)
+    return out
+
+
+def sample_part_prob_candidates(mask_planes: jnp.ndarray, cand_idx: jnp.ndarray,
+                                cand_pos: jnp.ndarray,
+                                clamp_mask: bool = False) -> jnp.ndarray:
+    """Part probability (prod-of-sigmoids over 3 planes) for candidate bones
+    only — sparse counterpart of sample_triplane_part_prob(mode="prod").
+
+    Args:
+        mask_planes: (B, K*3, H, W) per-bone mask tri-planes.
+        cand_idx: (B, n, M) bone index per candidate.
+        cand_pos: (B, n, M, 3) canonical positions (invalid at 2).
+    Returns:
+        (B, n, M) probabilities.
+    """
+    B, KC, H, W = mask_planes.shape
+    K = KC // 3
+    table = mask_planes.reshape(-1)
+    batch_off = (jnp.arange(B, dtype=jnp.int32) * (KC * H * W))[:, None, None]
+    prob = jnp.ones(cand_idx.shape, cand_pos.dtype)
+    for p, (i, j) in enumerate(PLANE_COORDS):
+        base = batch_off + (cand_idx * 3 + p) * (H * W)
+        x = (cand_pos[..., i] + 1) * (W / 2) - 0.5
+        y = (cand_pos[..., j] + 1) * (H / 2) - 0.5
+        logit = _bilinear_flat(table, base, x, y, H, W)
+        if clamp_mask:
+            logit = straight_through_clamp(logit)
+        prob = prob * jax.nn.sigmoid(logit)
+    return prob
+
+
+def sample_weighted_feature_candidates(feat_dim: int,
+                                       tri_plane_features: jnp.ndarray,
+                                       cand_pos: jnp.ndarray,
+                                       cand_weight: jnp.ndarray,
+                                       cand_valid: jnp.ndarray,
+                                       clamp_mask: bool = False) -> jnp.ndarray:
+    """Weighted feature sum over pre-selected candidate bones.
+
+    Args:
+        tri_plane_features: (B, F*3, H, W) shared feature planes.
+        cand_pos: (B, n, M, 3); cand_weight/cand_valid: (B, n, M).
+    Returns:
+        (B, F, n).
+    """
+    B, n, M, _ = cand_pos.shape
+    p = cand_pos.transpose(0, 3, 1, 2).reshape(B, 3, n * M)
+    feat = sample_feature(tri_plane_features, p, reduction="sum",
+                          clamp_mask=clamp_mask)  # (B, F, n*M)
+    feat = feat.reshape(B, feat_dim, n, M)
+    w = (cand_weight * cand_valid).astype(feat.dtype)
+    return jnp.einsum("bfnm,bnm->bfn", feat, w)
+
+
 def sample_weighted_feature_topm(feat_dim: int, tri_plane_features: jnp.ndarray,
                                  position: jnp.ndarray, weight: jnp.ndarray,
                                  position_validity: jnp.ndarray,

@@ -182,3 +182,37 @@ def test_topm_matches_dense_when_few_bones_valid(rng):
         Fdim, jnp.array(feats), jnp.array(masked_pos), jnp.array(weight),
         jnp.array(validity), max_bones=3))
     np.testing.assert_allclose(topm, dense, rtol=1e-4, atol=1e-5)
+
+
+def test_candidate_path_matches_dense(rng):
+    """Validity-first candidate selection == dense weight+feature pipeline
+    when ≤M bones are valid per point."""
+    from enarf_gan_tpu.ops.triplane import (
+        select_candidate_bones, sample_part_prob_candidates,
+        sample_weighted_feature_candidates)
+    bs, n_bone, Fdim, H, n, M = 2, 6, 8, 16, 40, 3
+    feat_planes = rng.randn(bs, Fdim * 3, H, H).astype(np.float32)
+    mask_planes = rng.randn(bs, n_bone * 3, H, H).astype(np.float32)
+    pos = rng.uniform(-0.9, 0.9, (bs, n_bone, 3, n)).astype(np.float32)
+    validity = np.zeros((bs, n_bone, n), bool)
+    for b in range(bs):
+        for i in range(n):
+            for k in rng.choice(n_bone, rng.randint(0, M + 1), replace=False):
+                validity[b, k, i] = True
+
+    # dense reference pipeline
+    masked_pos = np.where(validity[:, :, None], pos, 2.0).astype(np.float32)
+    w_dense = np.array(sample_triplane_part_prob(
+        jnp.array(mask_planes.reshape(bs * n_bone, 3, H, H)),
+        jnp.array(masked_pos), jnp.array(validity), mode="prod"))
+    f_dense = np.array(sample_weighted_feature(
+        Fdim, jnp.array(feat_planes), jnp.array(masked_pos),
+        jnp.array(w_dense), jnp.array(validity), use_pallas=False))
+
+    cand_idx, cand_valid, cand_pos = select_candidate_bones(
+        jnp.array(pos), jnp.array(validity), M)
+    cand_w = sample_part_prob_candidates(jnp.array(mask_planes), cand_idx,
+                                         cand_pos)
+    f_cand = np.array(sample_weighted_feature_candidates(
+        Fdim, jnp.array(feat_planes), cand_pos, cand_w, cand_valid))
+    np.testing.assert_allclose(f_cand, f_dense, rtol=1e-3, atol=1e-4)

@@ -1,0 +1,178 @@
+"""AIST++ preprocessing → native cache.npz.
+
+Port of reference data_preprocess/AIST/preprocess.py:22-237 on this
+framework's SMPL FK and npz codec. Semantics preserved: 3fps ffmpeg decode,
+undistortion, **aligned_crop** (crop size ∝ focal/1500, centered on the spine
+joint, reflect-padded, resized to 128² with intrinsics rebase), SMPL forward
+× scaling + translation, /100 unit normalization, per-person caches merged
+into ``all_all``. Requires the ``aist_plusplus`` SDK (external dataset SDK —
+gate: install from the AIST++ release to run this script).
+"""
+import argparse
+import glob
+import math
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+import numpy as np
+
+ALGO = "aligned_crop"
+CROP_SIZE = 600
+SAVE_SIZE = 128
+STANDARD_FOCAL = 1500
+N_PER_PERSON = 3000
+
+
+def smpl_forward_batch(model, poses):
+    import jax.numpy as jnp
+    from enarf_gan_tpu.geometry.smpl import smpl_pose_transforms
+    betas = np.zeros((1, model["shapedirs"].shape[-1]), np.float32)
+    return np.asarray(smpl_pose_transforms(
+        jnp.asarray(betas), jnp.asarray(poses.reshape(len(poses), -1),
+                                        jnp.float32),
+        jnp.asarray(model["v_template"]), jnp.asarray(model["shapedirs"]),
+        jnp.asarray(model["J_regressor"]), model["parents"]))
+
+
+def aligned_crop(img, intrinsic, rot, trans, pose):
+    import cv2
+    focal = (intrinsic[0, 0] + intrinsic[1, 1]) / 2
+    cs = int(CROP_SIZE * focal / STANDARD_FOCAL) // 2 * 2
+    jt = pose[:, :3, 3:]
+    pose_3d = np.matmul(rot[None], jt) + trans[None]
+    pose_2d = np.matmul(intrinsic[None], pose_3d)
+    pose_2d = pose_2d[:, :2, 0] / pose_2d[:, 2:, 0]
+
+    h, w, _ = img.shape
+    validity = (pose_2d.min() >= 0 and pose_2d[:, 0].max() < w
+                and pose_2d[:, 1].max() < h)
+    if validity:
+        spine = pose_2d[0]
+        x1 = math.floor(spine[0]) - cs // 2
+        y1 = math.floor(spine[1]) - cs // 2
+        x2, y2 = x1 + cs, y1 + cs
+        img = np.pad(img, ((max(0, -y1), max(0, y2 - h)),
+                           (max(0, -x1), max(0, x2 - w)), (0, 0)),
+                     mode="reflect")
+        img = img[max(0, y1):max(0, y1) + cs, max(0, x1):max(0, x1) + cs]
+        img = cv2.resize(img, (SAVE_SIZE, SAVE_SIZE),
+                         interpolation=cv2.INTER_CUBIC)[:, :, ::-1]
+    else:
+        img = np.zeros((SAVE_SIZE, SAVE_SIZE, 3), np.uint8)
+        x1, y1 = 0, 0
+    intri = intrinsic.copy()
+    intri[:2, 2] -= np.array([x1, y1])
+    intri[:2] /= (cs / SAVE_SIZE)
+    return img, intri, validity
+
+
+def read_frames(video_dir, aist_dataset, smpl_model, person_id):
+    import cv2
+    from aist_plusplus import utils
+    from aist_plusplus.loader import AISTDataset
+
+    paths = sorted(glob.glob(f"{video_dir}/*_d{person_id:0>2}_*.mp4"))
+    vids, intrs, valids, rmats, tvecs, smpls = [], [], [], [], [], []
+    for video_path in paths:
+        video_name = os.path.splitext(os.path.basename(video_path))[0]
+        seq_name, view = AISTDataset.get_seq_name(video_name)
+        view_idx = AISTDataset.VIEWS.index(view)
+        env_name = aist_dataset.mapping_seq2env[seq_name]
+        cgroup = AISTDataset.load_camera_group(aist_dataset.camera_dir, env_name)
+        with redirect_stdout(open(os.devnull, "w")):
+            frames3fps = utils.ffmpeg_video_read(video_path, 3)[:, :, :, ::-1]
+
+        cam = cgroup.cameras[view_idx]
+        camera_mat = cam.matrix
+        rmat = cv2.Rodrigues(cam.rvec)[0]
+        tvec = cam.tvec[:, None]
+        dist = cam.dist
+
+        smpl_poses, smpl_scaling, smpl_trans = AISTDataset.load_motion(
+            aist_dataset.motion_dir, seq_name)
+        poses = smpl_poses.reshape(-1, 24, 3)
+        A = smpl_forward_batch(smpl_model, poses)
+        A[:, :, :3, 3] *= smpl_scaling
+        A[:, :, :3, 3] += smpl_trans[:, None]
+
+        video_len = len(frames3fps)
+        rmats.append(np.tile(rmat, (video_len, 1, 1)))
+        tvecs.append(np.tile(tvec, (video_len, 1, 1)))
+        smpls.append(A[19:20 * video_len:20])
+
+        fr, ins, vals = [], [], []
+        for i in range(video_len):
+            idx_60fps = (i + 1) * 20 - 1
+            frame = cv2.undistort(frames3fps[i], camera_mat, dist)
+            frame, intri, validity = aligned_crop(frame, camera_mat, rmat,
+                                                  tvec, A[idx_60fps])
+            fr.append(frame)
+            ins.append(intri)
+            vals.append(validity)
+        vids.append(np.array(fr))
+        intrs.append(np.array(ins))
+        valids.append(np.array(vals))
+
+    video = np.concatenate(vids)
+    intrinsic = np.concatenate(intrs)
+    validity = np.concatenate(valids)
+    rmat = np.concatenate(rmats)
+    tvec = np.concatenate(tvecs)
+    smpl = np.concatenate(smpls)
+
+    video, intrinsic = video[validity], intrinsic[validity]
+    rmat, tvec, smpl = rmat[validity], tvec[validity], smpl[validity]
+    idx = np.linspace(0, len(video) - 1, N_PER_PERSON, dtype=int)
+    video, intrinsic = video[idx], intrinsic[idx]
+    rmat, tvec, smpl = rmat[idx], tvec[idx].copy(), smpl[idx].copy()
+    tvec /= 100
+    smpl[:, :, :3, 3] /= 100
+    return video, rmat, tvec, smpl, intrinsic
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_path", type=str, required=True)
+    parser.add_argument("--write_path", type=str, default="data/aist++")
+    parser.add_argument("--annotation_path", type=str, required=True)
+    parser.add_argument("--smpl_dir", type=str, default="smpl_data")
+    args = parser.parse_args()
+
+    from aist_plusplus.loader import AISTDataset
+    from enarf_gan_tpu.data.cache import save_cache_npz
+
+    smpl_model = dict(np.load(os.path.join(args.smpl_dir, "SMPL_MALE.npz")))
+    aist_dataset = AISTDataset(args.annotation_path)
+    cache_root = (f"{args.write_path}/cache{SAVE_SIZE}_{ALGO}_"
+                  f"fl{STANDARD_FOCAL}")
+
+    person_ids = np.concatenate([np.arange(7, 31), np.arange(1, 7)])
+    merged = {}
+    for pid in person_ids:
+        video, rmat, tvec, smpl, intrinsic = read_frames(
+            args.data_path, aist_dataset, smpl_model, pid)
+        arrays = dict(imgs=video.transpose(0, 3, 1, 2).astype(np.uint8),
+                      camera_intrinsic=intrinsic.astype(np.float32),
+                      camera_rotation=rmat.astype(np.float32),
+                      camera_translation=tvec.astype(np.float32),
+                      smpl_pose=smpl.astype(np.float32))
+        save_cache_npz(f"{cache_root}/{pid:0>2}", **arrays)
+        for k, v in arrays.items():
+            merged.setdefault(k, []).append(v)
+        print(f"person {pid}: {len(video)} frames")
+
+    merged = {k: np.concatenate(v) for k, v in merged.items()}
+    out = f"{cache_root}/all_all"
+    save_cache_npz(out, **merged)
+    canon = os.path.join(args.smpl_dir, "male_canonical.npy")
+    if os.path.exists(canon):
+        np.save(os.path.join(out, "canonical.npy"), np.load(canon))
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

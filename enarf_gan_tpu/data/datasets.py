@@ -14,6 +14,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from enarf_gan_tpu import native
 from enarf_gan_tpu.data.cache import load_cache
 from enarf_gan_tpu.data.mask2d import (SMPLProperty, add_blank_part, create_mask,
                                        pose_to_image_coord)
@@ -58,7 +59,8 @@ class HumanDatasetBase:
         return self.intrinsics[i]
 
     def preprocess_img(self, img):
-        return (img / 127.5 - 1).astype("float32")
+        # threaded native normalize when the C++ batcher is built
+        return native.normalize_images(np.asarray(img))
 
     def random_sample(self):
         return self[random.randint(0, len(self.imgs) - 1)]
@@ -68,8 +70,10 @@ class HumanDatasetBase:
         out: Dict[str, np.ndarray] = {}
         img = self.get_image(i)
         if img.shape[0] == 4:  # alpha channel is the mask
-            out["mask"] = img[3].astype("float32") / \
-                (255.0 if img.dtype == np.uint8 else 1.0)
+            if img.dtype == np.uint8:
+                out["mask"] = native.mask_from_alpha(img[3])
+            else:
+                out["mask"] = img[3].astype("float32")
             img = img[:3]
         elif self.return_mask:
             out["mask"] = (img != 255).any(axis=0).astype("float32")

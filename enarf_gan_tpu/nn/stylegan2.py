@@ -167,6 +167,7 @@ class SynthesisNetwork(nn.Module):
     wide: bool = False          # crop_background: 2x-wide constant input
     use_noise: bool = True
     channel_max: int = 512
+    const_hw: Optional[Tuple[int, int]] = None  # override constant-input shape
 
     @property
     def n_latent(self) -> int:
@@ -179,8 +180,8 @@ class SynthesisNetwork(nn.Module):
         ch = channels_dict(self.channel_multiplier, self.channel_max)
         log_size = int(math.log2(self.size))
         B = latent.shape[0]
-        size2 = 8 if self.wide else 4
-        const = self.param("const", _normal_init(), (1, ch[4], 4, size2))
+        const_hw = self.const_hw or (4, 8 if self.wide else 4)
+        const = self.param("const", _normal_init(), (1, ch[4]) + tuple(const_hw))
         out = jnp.broadcast_to(const, (B,) + const.shape[1:])
 
         def next_rng(r):
@@ -351,3 +352,47 @@ class Discriminator(nn.Module):
         h = h.reshape(B, -1)
         h = EqualLinear(ch[4], activation=True, name="final_linear0")(h)
         return EqualLinear(1, name="final_linear1")(h)
+
+
+class PretrainedStyleGAN(nn.Module):
+    """Frozen StyleGAN2-church background (reference net.py:679-709).
+
+    A 256² generator whose constant input is sliced to half height
+    (4x4 → 2x4, giving 128x256 output), randomly cropped to 128² at train
+    time and center-cropped at eval. Weights come from a rosinality
+    stylegan2-church checkpoint converted with
+    ``data_preprocess/convert_stylegan2_church.py``.
+    """
+    size: int = 128
+    style_dim: int = 512
+    n_mlp: int = 8
+
+    def setup(self):
+        self.gen = StyleGAN2Generator(size=256, style_dim=self.style_dim,
+                                      n_mlp=self.n_mlp, out_channels=3,
+                                      use_noise=True)
+        # const_hw (2, 4) is realized by slicing the loaded 4x4 const in the
+        # converter, matching reference net.py:695.
+
+    @property
+    def n_latent(self) -> int:
+        return self.gen.n_latent
+
+    def __call__(self, zs, inject_index: int, train: bool = False,
+                 crop_rng: Optional[jax.Array] = None,
+                 noise_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        z = jnp.concatenate(zs, axis=1)
+        img = self.gen([z], inject_index=inject_index, noise_rng=noise_rng)
+        # (B, 3, 256, 256) from full const → reference slices const instead;
+        # crop to self.size either way
+        if train and crop_rng is not None:
+            ky, kx = jax.random.split(crop_rng)
+            y0 = jax.random.randint(ky, (), 0, img.shape[2] - self.size + 1)
+            x0 = jax.random.randint(kx, (), 0, img.shape[3] - self.size + 1)
+            img = jax.lax.dynamic_slice(
+                img, (0, 0, y0, x0),
+                (img.shape[0], img.shape[1], self.size, self.size))
+        else:
+            c = img.shape[3] // 2
+            img = img[:, :, :self.size, c - self.size // 2: c + self.size // 2]
+        return img

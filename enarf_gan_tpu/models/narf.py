@@ -38,6 +38,13 @@ from enarf_gan_tpu.ops.triplane import (
     sample_triplane_part_prob, sample_weighted_feature)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 @dataclasses.dataclass(frozen=True)
 class NARFParams:
     """Static model hyper-parameters (mirror of config nerf_params)."""
@@ -326,9 +333,16 @@ class TriPlaneNARF(nn.Module):
             cand_w = sample_part_prob_candidates(
                 tri_plane_feature[:, fch:], cand_idx, cand_pos,
                 clamp_mask=p.clamp_mask)  # (B, n, M)
-            feature = sample_weighted_feature_candidates(
-                p.feat_dim, tri_plane_feature[:, :fch], cand_pos, cand_w,
-                cand_valid, clamp_mask=p.clamp_mask)  # (B, 32, n)
+            if _on_tpu():
+                from enarf_gan_tpu.ops.triplane_pallas import (
+                    fused_weighted_sample_candidates)
+                feature = fused_weighted_sample_candidates(
+                    p.feat_dim, tri_plane_feature[:, :fch], cand_pos, cand_w,
+                    cand_valid)  # (B, 32, n) — fused Pallas gather
+            else:
+                feature = sample_weighted_feature_candidates(
+                    p.feat_dim, tri_plane_feature[:, :fch], cand_pos, cand_w,
+                    cand_valid, clamp_mask=p.clamp_mask)  # (B, 32, n)
             weight_max = (cand_w * cand_valid).max(axis=2)[:, None]  # (B,1,n)
             weight = cand_w.transpose(0, 2, 1)  # (B, M, n) for aux
         else:

@@ -22,7 +22,7 @@ def main():
     from enarf_gan_tpu.data.cache import load_sample_data
     from enarf_gan_tpu.geometry.smpl import SMPL_PARENTS
     from enarf_gan_tpu.models.generator import (register_canonical_pose,
-                                                dso_render_entire_img)
+                                                make_dso_full_renderer)
     from enarf_gan_tpu.training import dso, checkpoint as ckpt
     from PIL import Image
 
@@ -65,14 +65,13 @@ def main():
     frame_time = jnp.array([1.0], jnp.float32)
     save_dir = os.path.join(out_dir, "samples")
     os.makedirs(save_dir, exist_ok=True)
+    renderer = make_dso_full_renderer(gen, size, ray_batchsize=args.render_bs)
     for idx, batch in enumerate(samples):
         pose = jnp.asarray(batch["pose_3d"], jnp.float32)[None]
         bl = jnp.asarray(batch["bone_length"], jnp.float32)[None]
-        inv_K = jnp.linalg.inv(jnp.asarray(batch["intrinsics"], jnp.float32))
-        color, mask, _ = dso_render_entire_img(
-            gen, variables, jax.random.PRNGKey(idx), pose, inv_K, frame_time,
-            bl, camera_pose=None, render_size=size,
-            ray_batchsize=args.render_bs)
+        inv_K = jnp.linalg.inv(jnp.asarray(batch["intrinsics"], jnp.float32))[None]
+        color, mask, _ = renderer(variables, jax.random.PRNGKey(idx), pose,
+                                  inv_K, frame_time, bl, None)
         img = np.asarray(color) + bg_color * (1 - np.asarray(mask))
         img = np.clip(img.transpose(1, 2, 0) * 127.5 + 127.5, 0, 255).astype("uint8")
         Image.fromarray(img).save(os.path.join(save_dir, f"{idx:0>4}.png"))

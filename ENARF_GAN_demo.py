@@ -68,6 +68,13 @@ def main():
     save_dir = os.path.join(out_dir, "samples")
     os.makedirs(save_dir, exist_ok=True)
     z_dim = config.generator_params.z_dim
+
+    @jax.jit
+    def generate(gen_vars, f_rng, pose, world, bl, inv_K, z, psi):
+        return gen.apply(gen_vars, f_rng, pose, world, bl, z, inv_K,
+                         truncation_psi=psi,
+                         black_bg_if_possible=args.black_bg)
+
     for idx in range(min(args.num_samples, len(samples))):
         batch = samples[idx]
         rng, z_rng, f_rng = jax.random.split(rng, 3)
@@ -76,9 +83,8 @@ def main():
         world = jnp.asarray(batch["pose_to_world"], jnp.float32)[None]
         bl = jnp.asarray(batch["bone_length"], jnp.float32)[None]
         inv_K = jnp.linalg.inv(jnp.asarray(batch["intrinsics"], jnp.float32))[None]
-        img, mask, aux = gen.apply(gen_vars, f_rng, pose, world, bl, z, inv_K,
-                                   truncation_psi=args.truncation,
-                                   black_bg_if_possible=args.black_bg)
+        img, mask, aux = generate(gen_vars, f_rng, pose, world, bl, inv_K, z,
+                                  args.truncation)
         arr = np.clip(np.asarray(img)[0].transpose(1, 2, 0) * 127.5 + 127.5,
                       0, 255).astype("uint8")
         Image.fromarray(arr).save(os.path.join(save_dir, f"img_{idx:0>4}.png"))

@@ -24,7 +24,7 @@ def main():
     from enarf_gan_tpu.models.narf import NARFParams
     from enarf_gan_tpu.models.generator import (DSONARFGenerator,
                                                 register_canonical_pose,
-                                                dso_render_entire_img)
+                                                make_dso_full_renderer)
     from enarf_gan_tpu.geometry.smpl import SMPL_PARENTS
     from __graft_entry__ import _tiny_scene
 
@@ -53,15 +53,22 @@ def main():
     variables = register_canonical_pose(variables, canonical, "center_fixed",
                                         np.asarray(SMPL_PARENTS))
 
+    renderer = make_dso_full_renderer(gen, render_size,
+                                      ray_batchsize=ray_chunk,
+                                      with_camera_pose=False)
+
     def render_once(seed):
-        return dso_render_entire_img(
-            gen, variables, jax.random.PRNGKey(seed), jnp.asarray(pose_cam),
-            jnp.asarray(inv_K), ft, jnp.asarray(bl), camera_pose=None,
-            render_size=render_size, ray_batchsize=ray_chunk)
+        return renderer(variables, jax.random.PRNGKey(seed),
+                        jnp.asarray(pose_cam), jnp.asarray(inv_K), ft,
+                        jnp.asarray(bl))
 
     # warmup / compile
+    t_compile = time.perf_counter()
     out = render_once(0)
     jax.block_until_ready(out)
+    import sys
+    print(f"# compile+first render: {time.perf_counter() - t_compile:.1f}s",
+          file=sys.stderr)
 
     n_rays = render_size * render_size
     t0 = time.perf_counter()

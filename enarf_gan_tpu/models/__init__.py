@@ -5,4 +5,6 @@ from enarf_gan_tpu.models.generator import (
     register_canonical_pose,
     dso_render_entire_img,
     gan_render_entire_img,
+    make_dso_full_renderer,
+    make_gan_full_renderer,
 )

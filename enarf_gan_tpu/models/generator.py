@@ -315,6 +315,46 @@ def dso_render_entire_img(gen: DSONARFGenerator, variables, rng,
                              bbox=bbox)
 
 
+def make_dso_full_renderer(gen: DSONARFGenerator, render_size: int,
+                           ray_batchsize: Optional[int] = None,
+                           use_normalized_intrinsics: bool = False,
+                           with_camera_pose: bool = True):
+    """Build a JITTED full-image DSO renderer (compile once, reuse per frame).
+
+    The unjitted helper dispatches ~per-op on TPU (catastrophic through a
+    remote runtime); all callers on hot paths must use this factory.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def render(variables, rng, pose_to_camera, inv_intrinsics, frame_time,
+               bone_length, camera_pose=None):
+        return dso_render_entire_img(
+            gen, variables, rng, pose_to_camera, inv_intrinsics, frame_time,
+            bone_length, camera_pose=camera_pose, render_size=render_size,
+            ray_batchsize=ray_batchsize,
+            use_normalized_intrinsics=use_normalized_intrinsics)
+
+    return render
+
+
+def make_gan_full_renderer(gen: TriNARFGenerator,
+                           render_size: Optional[int] = None,
+                           ray_batchsize: Optional[int] = None):
+    """JITTED full-image GAN foreground renderer."""
+
+    @jax.jit
+    def render(variables, rng, pose_to_camera, bone_length, z, inv_intrinsics,
+               truncation_psi=1.0):
+        return gan_render_entire_img(gen, variables, rng, pose_to_camera,
+                                     bone_length, z, inv_intrinsics,
+                                     truncation_psi=truncation_psi,
+                                     render_size=render_size,
+                                     ray_batchsize=ray_batchsize)
+
+    return render
+
+
 def gan_render_entire_img(gen: TriNARFGenerator, variables, rng, pose_to_camera,
                           bone_length, z, inv_intrinsics, truncation_psi=1.0,
                           render_size: Optional[int] = None,

@@ -19,6 +19,7 @@ import optax
 
 from enarf_gan_tpu.models.generator import (DSONARFGenerator,
                                             dso_render_entire_img,
+                                            make_dso_full_renderer,
                                             register_canonical_pose)
 from enarf_gan_tpu.models.narf import NARFParams
 from enarf_gan_tpu.training import checkpoint as ckpt
@@ -110,6 +111,7 @@ def validate(gen, variables, config, val_loaders, rng, iteration: int = 0,
     """Full-image validation (reference train_DSO.py:75-170)."""
     size = config.dataset.image_size
     bg_color = config.dataset.bg_color
+    renderer = make_dso_full_renderer(gen, size)  # jitted once, reused
     out = {}
     for key, loader in val_loaders.items():
         if num_data != 1 and key == "train":
@@ -123,7 +125,15 @@ def validate(gen, variables, config, val_loaders, rng, iteration: int = 0,
             item = loader.dataset[i]
             img = item["img"][None]
             mask = item["mask"][None]
-            bbox = None
+            # render the full frame (fixed shapes → one compile), crop on host
+            color, gmask, _ = renderer(
+                variables, rng, jnp.asarray(item["pose_3d"][None]),
+                jnp.linalg.inv(jnp.asarray(item["intrinsics"]))[None],
+                jnp.asarray(item["frame_time"][None]),
+                jnp.asarray(item["bone_length"][None]),
+                jnp.asarray(item["camera_rotation"][None]))
+            color = np.asarray(color)[None]
+            gmask = np.asarray(gmask)[None]
             if crop:
                 ys, xs = np.where(item["mask"] > 0)
                 if len(xs) == 0:
@@ -132,15 +142,8 @@ def validate(gen, variables, config, val_loaders, rng, iteration: int = 0,
                         int(xs.max()), int(ys.max()))
                 mask = mask[:, bbox[1]:bbox[3], bbox[0]:bbox[2]]
                 img = img[:, :, bbox[1]:bbox[3], bbox[0]:bbox[2]]
-            color, gmask, _ = dso_render_entire_img(
-                gen, variables, rng, jnp.asarray(item["pose_3d"][None]),
-                jnp.linalg.inv(jnp.asarray(item["intrinsics"])),
-                jnp.asarray(item["frame_time"][None]),
-                jnp.asarray(item["bone_length"][None]),
-                camera_pose=jnp.asarray(item["camera_rotation"][None]),
-                render_size=size, bbox=bbox)
-            color = np.asarray(color)[None]
-            gmask = np.asarray(gmask)[None]
+                color = color[:, :, bbox[1]:bbox[3], bbox[0]:bbox[2]]
+                gmask = gmask[:, bbox[1]:bbox[3], bbox[0]:bbox[2]]
             if np.isnan(color).any():
                 print("NaN is detected")
             color = color + bg_color * (1 - gmask[:, None])

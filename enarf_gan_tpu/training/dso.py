@@ -56,7 +56,10 @@ def init_state(config, gen: DSONARFGenerator, canonical_pose: np.ndarray,
     schedule = optax.exponential_decay(config.lr, transition_steps=1,
                                        decay_rate=config.scheduler_gamma) \
         if config.scheduler_gamma < 1 else config.lr
-    tx = optax.adam(schedule, b1=0.9, b2=0.99)
+    # apply_if_finite = the reference's try/except iteration skip
+    # (train_ENARF_GAN.py:261-268) done in-graph: non-finite grads are
+    # dropped instead of corrupting the params.
+    tx = optax.apply_if_finite(optax.adam(schedule, b1=0.9, b2=0.99), 100)
     opt_state = tx.init(variables["params"])
     return variables, tx, opt_state
 

@@ -75,8 +75,9 @@ def init_gan_state(config, gen, dis, canonical_pose, rng, sample_batch):
 
     gen_lr = 1e-3 * batchsize / 32
     dis_lr = 2e-3 * batchsize / 32
-    gen_tx = optax.adam(gen_lr, b1=0.0, b2=0.99)
-    dis_tx = optax.adam(dis_lr, b1=0.0, b2=0.99)
+    # non-finite grads are dropped in-graph (reference's try/except skip)
+    gen_tx = optax.apply_if_finite(optax.adam(gen_lr, b1=0.0, b2=0.99), 100)
+    dis_tx = optax.apply_if_finite(optax.adam(dis_lr, b1=0.0, b2=0.99), 100)
     return {
         "gen": gen_vars, "dis": dis_vars,
         "gen_opt": gen_tx.init(gen_vars["params"]),

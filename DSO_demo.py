@@ -9,6 +9,8 @@ import numpy as np
 
 
 def main():
+    from enarf_gan_tpu.utils.platform import sync_platform_from_env
+    sync_platform_from_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--default_config", type=str,

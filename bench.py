@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main():
+    from enarf_gan_tpu.utils.platform import sync_platform_from_env
+    sync_platform_from_env()
     import jax
     import jax.numpy as jnp
     from enarf_gan_tpu.models.narf import NARFParams

@@ -38,7 +38,13 @@ from enarf_gan_tpu.ops.triplane import (
     sample_triplane_part_prob, sample_weighted_feature)
 
 
-def _on_tpu() -> bool:
+def _use_pallas_gather() -> bool:
+    """Fused Pallas gather is opt-in: Mosaic's dynamic-gather requires
+    index/input shape agreement, so the jnp.take row-gather kernel only runs
+    in interpret mode / future Mosaic versions. Enable with ENARF_PALLAS=1."""
+    import os
+    if os.environ.get("ENARF_PALLAS", "0") != "1":
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
@@ -333,7 +339,7 @@ class TriPlaneNARF(nn.Module):
             cand_w = sample_part_prob_candidates(
                 tri_plane_feature[:, fch:], cand_idx, cand_pos,
                 clamp_mask=p.clamp_mask)  # (B, n, M)
-            if _on_tpu():
+            if _use_pallas_gather():
                 from enarf_gan_tpu.ops.triplane_pallas import (
                     fused_weighted_sample_candidates)
                 feature = fused_weighted_sample_candidates(

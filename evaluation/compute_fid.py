@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main():
+    from enarf_gan_tpu.utils.platform import sync_platform_from_env
+    sync_platform_from_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str,
                         default="configs/enarfgan_train/AIST/config.yml")

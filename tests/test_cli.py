@@ -1,0 +1,122 @@
+"""CLI-surface smoke tests: the shipped entry points run end-to-end on
+synthetic data with reference-style two-file YAML configs."""
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from enarf_gan_tpu.data.fixtures import make_synthetic_human_cache
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=2")
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_synth")
+    make_synthetic_human_cache(str(root), size=32, n_frames=2, n_camera=2)
+    return str(root)
+
+
+def run_cli(script, args, cwd=REPO):
+    cmd = [sys.executable, script] + args
+    res = subprocess.run(cmd, cwd=cwd, env=ENV, capture_output=True,
+                         text=True, timeout=1200)
+    assert res.returncode == 0, res.stdout + "\n" + res.stderr
+    return res
+
+
+def test_train_dso_cli(synth, tmp_path):
+    default = tmp_path / "default.yml"
+    default.write_text(textwrap.dedent(f"""
+        out_root: {tmp_path}/out
+        out: cli_dso
+        dataset:
+          bs: 2
+          image_size: 32
+          bg_color: -1
+          train:
+            data_root: {synth}
+            n_frames: 2
+          val:
+            novel_pose:
+              data_root: {synth}
+              n_frames: 2
+        generator_params:
+          use_triplane: True
+          ray_batchsize: 64
+          nerf_params:
+            w_dim: 32
+            tri_plane_size: 16
+            hidden_size: 16
+            Nc: 4
+            Nf: 4
+            no_ray_direction: True
+            origin_location: center_fixed
+            coordinate_scale: 3
+            render_bs: 256
+            model_type: narf
+            multiply_density_with_triplane_wieght: False
+            clamp_mask: False
+            constant_triplane: True
+            constant_trimask: False
+            selector_mlp: False
+            deformation_field: False
+            no_selector: False
+            time_conditional: True
+            pose_conditional: False
+            constant_trimask_lr_mul: 1
+        loss:
+          color_coef: 1
+          mask_coef: 1
+          nerf_loss_type: mse
+        num_iter: 100000
+        lr: 0.01
+        scheduler_gamma: 0.99995
+        val_interval: 6
+        print_interval: 100
+        tensorboard_interval: 5
+        save_interval: 5
+        resume:
+    """))
+    override = tmp_path / "override.yml"
+    override.write_text("out: cli_dso\n")
+    run_cli("train_DSO.py", ["--config", str(override),
+                             "--default_config", str(default),
+                             "--iterations", "7"])
+    out_dir = f"{tmp_path}/out/result/cli_dso"
+    assert os.path.exists(f"{out_dir}/snapshot_latest.msgpack")
+    assert os.path.exists(f"{out_dir}/log.json")
+    with open(f"{out_dir}/log.json") as f:
+        log = json.load(f)
+    entry = log[list(log.keys())[0]]
+    assert "val_loss_novel_pose_color_PSNR" in entry
+
+    # resume from the snapshot
+    run_cli("train_DSO.py", ["--config", str(override),
+                             "--default_config", str(default),
+                             "--resume_latest", "--iterations", "8"])
+
+
+def test_pose_interpolation():
+    from enarf_gan_tpu.geometry.pose import interpolate_pose
+    from enarf_gan_tpu.data.fixtures import (synthetic_rest_joints,
+                                             synthetic_pose_sequence)
+    from enarf_gan_tpu.geometry.smpl import SMPL_PARENTS
+    rest = synthetic_rest_joints()
+    poses = synthetic_pose_sequence(rest, 4)
+    out = interpolate_pose(poses.astype(np.float64), SMPL_PARENTS, num=20,
+                           loop=True)
+    assert out.shape == (20, 24, 4, 4)
+    # interpolation passes near the key poses
+    np.testing.assert_allclose(out[0], poses[0], atol=1e-4)
+    # rotations stay orthonormal
+    R = out[:, :, :3, :3]
+    eye = np.einsum("fkij,fkil->fkjl", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (20, 24, 1, 1)),
+                               atol=1e-5)

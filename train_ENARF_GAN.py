@@ -32,6 +32,8 @@ def create_dataloader(config_dataset):
 
 
 def main():
+    from enarf_gan_tpu.utils.platform import sync_platform_from_env
+    sync_platform_from_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str,
                         default="configs/enarfgan_train/AIST/config.yml")

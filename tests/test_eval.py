@@ -93,3 +93,36 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert loaded["iteration"] == 123
     np.testing.assert_allclose(np.array(loaded["gen"]["params"]["w"]),
                                np.array(state["gen"]["params"]["w"]))
+
+
+def test_inception_jax_matches_torchvision(tmp_path, rng):
+    """Architecture-exact port: random-init torchvision weights → identical
+    features (no pretrained download needed)."""
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    import jax.numpy as jnp
+    from enarf_gan_tpu.eval_lib.inception_jax import inception_features
+
+    model = torchvision.models.inception_v3(weights=None, aux_logits=True,
+                                            init_weights=True)
+    model.eval()
+    weights = {k.replace(".", "/"): v.detach().numpy()
+               for k, v in model.state_dict().items()}
+
+    x = rng.randn(1, 3, 299, 299).astype(np.float32)
+    with torch.no_grad():
+        h = torch.tensor(x)
+        m = model
+        h = m.Conv2d_1a_3x3(h); h = m.Conv2d_2a_3x3(h); h = m.Conv2d_2b_3x3(h)
+        h = m.maxpool1(h); h = m.Conv2d_3b_1x1(h); h = m.Conv2d_4a_3x3(h)
+        h = m.maxpool2(h)
+        h = m.Mixed_5b(h); h = m.Mixed_5c(h); h = m.Mixed_5d(h)
+        h = m.Mixed_6a(h)
+        h = m.Mixed_6b(h); h = m.Mixed_6c(h); h = m.Mixed_6d(h); h = m.Mixed_6e(h)
+        h = m.Mixed_7a(h); h = m.Mixed_7b(h); h = m.Mixed_7c(h)
+        ref = h.mean(dim=(2, 3)).numpy()
+
+    ours = np.asarray(inception_features(
+        jnp.asarray(x), {k: jnp.asarray(v) for k, v in weights.items()}))
+    assert ours.shape == (1, 2048)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)

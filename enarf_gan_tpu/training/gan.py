@@ -41,7 +41,10 @@ R1_INTERVAL = 16  # reference train_ENARF_GAN.py:155
 def build_models(config, num_bone: int, parent_id
                  ) -> Tuple[TriNARFGenerator, Discriminator]:
     gp = config.generator_params
-    params = NARFParams.from_config(gp.nerf_params)
+    # the reference GAN generator never threads no_ray_direction — its
+    # TriPlaneNARF keeps the view-independent default (reference
+    # models/generator.py:29 vs :164 for DSO)
+    params = NARFParams.from_config(gp.nerf_params, view_dependent=False)
     gen = TriNARFGenerator(
         nerf_params=params, size=config.dataset.image_size, num_bone=num_bone,
         parent_id=tuple(int(x) for x in parent_id), z_dim=int(gp.z_dim),

@@ -120,3 +120,65 @@ def test_pose_interpolation():
     eye = np.einsum("fkij,fkil->fkjl", R, R)
     np.testing.assert_allclose(eye, np.tile(np.eye(3), (20, 24, 1, 1)),
                                atol=1e-5)
+
+
+def test_train_gan_cli(synth, tmp_path):
+    default = tmp_path / "gan_default.yml"
+    default.write_text(textwrap.dedent(f"""
+        out_root: {tmp_path}/out
+        out: cli_gan
+        dataset:
+          bs: 2
+          image_size: 32
+          train:
+            data_root: {synth}
+            pose_prior_root:
+        generator_params:
+          z_dim: 16
+          patch_size: 24
+          background_ratio: 0.3
+          use_triplane: True
+          crop_background: True
+          pretrained_background: False
+          channel_max: 32
+          nerf_params:
+            w_dim: 32
+            tri_plane_size: 16
+            final_activation: tanh
+            hidden_size: 16
+            out_dim: 16
+            Nc: 4
+            Nf: 4
+            no_ray_direction: False
+            mask_input: False
+            origin_location: center_fixed
+            coordinate_scale: 3
+            multiply_density_with_triplane_wieght: False
+            clamp_mask: False
+            constant_triplane: False
+            constant_trimask: False
+            constant_trimask_lr_mul: 1
+            deformation_field: False
+            selector_mlp: False
+            no_selector: False
+        discriminator_params:
+          minibatch_std: True
+          channel_max: 32
+        loss:
+          adv_loss_type: ce
+          bone_guided_coef: 10
+          r1_loss_coef: 0.01
+          tri_plane_reg_coef: 0.001
+        replace: True
+        num_iter: 1000000
+        n_accum_step: 2
+        resume:
+    """))
+    override = tmp_path / "gan_override.yml"
+    override.write_text("out: cli_gan\n")
+    run_cli("train_ENARF_GAN.py", ["--config", str(override),
+                                   "--default_config", str(default),
+                                   "--iterations", "3"])
+    out_dir = f"{tmp_path}/out/result/cli_gan"
+    assert os.path.exists(f"{out_dir}/real.png")
+    assert os.path.exists(f"{out_dir}/command.txt")

@@ -1,26 +1,24 @@
-"""Pallas TPU kernel: fused weighted tri-plane gather-sum.
+"""Pallas TPU kernel: windowed one-hot MXU tri-plane sampler.
 
-TPU-native equivalent of the reference's hand-written CUDA TriplaneSampler
-(reference: cuda_extension/TriplaneSampler_kernel.cu — per point, loop the 3
-planes with coord pairs (x,y),(y,z),(z,x), bilinear sample, sum in-register).
-Here the whole candidate-bone weighted sum fuses into one kernel:
+TPU-native equivalent of the reference's CUDA TriplaneSampler
+(cuda_extension/TriplaneSampler_kernel.cu). XLA's gather lowers to ~0.1-6 M
+elements/s on TPU — unusable for the render hot path — and Mosaic has no
+general dynamic gather. This kernel reformulates bilinear tri-plane sampling
+as **windowed one-hot matmuls**, which the MXU eats:
 
-    out[t, :] = Σ_m w[t, m] · Σ_p bilinear(plane_p, coords_p(pos[t, m]))
+* the (3·H·W, F) plane table is packed with its x+1-shifted copy → rows of
+  2F channels, so one row fetch yields both x-texels and bilinear collapses
+  to TWO one-hot entries (rows y0, y1 with weights folded in) + a cheap
+  post x-interpolation;
+* samples are streamed in (plane, candidate, point) order — consecutive
+  points lie along rays, so their table rows are spatially local; each group
+  of G samples picks 2-3 dynamic windows of WIN rows from the VMEM-resident
+  table and gathers via (G, WIN) one-hot @ (WIN, 2F) matmuls;
+* samples a group's windows fail to cover are flagged; the caller fixes the
+  (rare) residuals with a flat scalar-gather pass of fixed capacity.
 
-The three F-channel feature planes live in VMEM as one (3·H·W, F) row table
-(bf16: 12.6 MB at 256², fits); each grid step processes a tile of points and
-issues row gathers (``jnp.take`` on the sublane axis → Mosaic dynamic
-gather). Out-of-range positions (validity masking upstream places them at 2)
-contribute nothing via the in-bounds corner masks — grid_sample zero-padding
-semantics.
-
-Backward: ``custom_vjp`` whose bwd recomputes through the XLA reference
-formulation (scatter-add handled by XLA) — the forward (inference hot path)
-gets the fused kernel, training gradients stay exact.
-
-Use ``fused_weighted_sample_candidates`` (candidate/top-M layout) or
-``fused_weighted_sample`` (dense (B, K, …) layout, adapts then calls the
-former).
+Forward-only fast path: the custom VJP recomputes gradients through the XLA
+formulation (exact; training keeps XLA, inference gets the kernel).
 """
 from __future__ import annotations
 
@@ -35,77 +33,96 @@ from jax.experimental.pallas import tpu as pltpu
 
 from enarf_gan_tpu.ops.triplane import PLANE_COORDS
 
-DEFAULT_TILE = 1024
+TILE = 4096        # samples per grid step
+GROUP = 512        # samples per window selection
+WIN = 1024         # table rows per window
+N_WINDOWS = 3
+FALLBACK_CAP = 2048
 
 
-def _planes_to_table(tri_plane_features: jnp.ndarray, feat_dim: int):
-    """(B, F*3, H, W) → (B, 3*H*W, F) row table (plane-major, y, x)."""
-    B, C3, H, W = tri_plane_features.shape
-    t = tri_plane_features.reshape(B, 3, feat_dim, H, W)
-    return t.transpose(0, 1, 3, 4, 2).reshape(B, 3 * H * W, feat_dim), H, W
+def _sampler_kernel(off_ref, w_ref, table_ref, out_ref, res_ref, *, n_rows,
+                    F2, win, align):
+    offs = off_ref[0]        # (TILE, 2) int32 table rows (y0, y1)
+    wts = w_ref[0]           # (TILE, 2) f32 folded weights
+    n_g = TILE // GROUP
+    for g in range(n_g):
+        sl = slice(g * GROUP, (g + 1) * GROUP)
+        o = offs[sl]
+        w = wts[sl]
+        lo = jnp.min(o[:, 0])
+        hi = jnp.max(o[:, 1])
+        mid = (lo + hi) // 2 - win // 2
+        bases = (lo, jnp.maximum(hi - (win - 8), 0), mid)[:N_WINDOWS]
+        acc = jnp.zeros((GROUP, F2), jnp.float32)
+        covered = jnp.zeros((GROUP, 2), jnp.bool_)
+        for base in bases:
+            base = jnp.clip(base, 0, n_rows - win)
+            base = pl.multiple_of((base // align) * align, align)
+            wslab = table_ref[pl.ds(base, win), :]
+            local = o - base
+            ok = (local >= 0) & (local < win) & (~covered)
+            covered = covered | ok
+            iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, win), 1)
+            oh = jnp.where((iota == local[:, 0][:, None]) & ok[:, 0][:, None],
+                           w[:, 0][:, None], 0.0)
+            oh = oh + jnp.where(
+                (iota == local[:, 1][:, None]) & ok[:, 1][:, None],
+                w[:, 1][:, None], 0.0)
+            acc = acc + jnp.dot(oh.astype(jnp.bfloat16), wslab,
+                                preferred_element_type=jnp.float32)
+        out_ref[0, sl, :] = acc
+        res_ref[0, g, :] = (~covered.all(axis=1)).astype(jnp.float32)
 
 
-def _kernel(pos_ref, w_ref, table_ref, out_ref, *, H, W, M, F):
-    pos = pos_ref[0]        # (T, M, 3) — blocks carry a leading batch dim 1
-    wgt = w_ref[0]          # (T, M)
-    table = table_ref[0]    # (3HW, F)
-    T = pos.shape[0]
-    acc = jnp.zeros((T, F), jnp.float32)
-    for m in range(M):
-        wm = wgt[:, m]
-        for p, (i, j) in enumerate(PLANE_COORDS):
-            x = (pos[:, m, i] + 1) * (W / 2) - 0.5
-            y = (pos[:, m, j] + 1) * (H / 2) - 0.5
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            fx = x - x0
-            fy = y - y0
-            for cx, cy, cw in ((x0, y0, (1 - fx) * (1 - fy)),
-                               (x0 + 1, y0, fx * (1 - fy)),
-                               (x0, y0 + 1, (1 - fx) * fy),
-                               (x0 + 1, y0 + 1, fx * fy)):
-                inb = (cx >= 0) & (cx <= W - 1) & (cy >= 0) & (cy <= H - 1)
-                idx = (p * H + jnp.clip(cy, 0, H - 1).astype(jnp.int32)) * W \
-                    + jnp.clip(cx, 0, W - 1).astype(jnp.int32)
-                rows = jnp.take(table, idx, axis=0)  # (T, F)
-                acc = acc + rows.astype(jnp.float32) * \
-                    (wm * cw * inb)[:, None].astype(jnp.float32)
-    out_ref[0] = acc
+def windowed_sample(table_packed: jnp.ndarray, rows: jnp.ndarray,
+                    row_weights: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather ``Σ_i row_weights[s,i]·table_packed[rows[s,i]]`` per sample.
 
-
-def _fused_forward(table: jnp.ndarray, cand_pos: jnp.ndarray,
-                   cand_w: jnp.ndarray, H: int, W: int,
-                   tile: int = DEFAULT_TILE) -> jnp.ndarray:
-    """table (B, 3HW, F); cand_pos (B, n, M, 3); cand_w (B, n, M) → (B, n, F)."""
-    B, n, M, _ = cand_pos.shape
-    F = table.shape[-1]
-    tile = min(tile, n)
-    pad = (-n) % tile
+    Args:
+        table_packed: (n_rows, F2) bf16 VMEM-resident table.
+        rows: (S, 2) int32; row_weights: (S, 2) f32.
+    Returns:
+        (out (S, F2) f32, residual (S,) bool — samples the windows missed).
+    """
+    n_rows, F2 = table_packed.shape
+    win = min(WIN, n_rows)
+    align = min(512, win)
+    S = rows.shape[0]
+    pad = (-S) % TILE
     if pad:
-        cand_pos = jnp.pad(cand_pos, ((0, 0), (0, pad), (0, 0), (0, 0)),
-                           constant_values=2.0)
-        cand_w = jnp.pad(cand_w, ((0, 0), (0, pad), (0, 0)))
-    n_pad = n + pad
-    n_tiles = n_pad // tile
-
-    grid = (B, n_tiles)
-    out = pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W, M=M, F=F),
-        grid=grid,
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+        row_weights = jnp.pad(row_weights, ((0, pad), (0, 0)))
+    n_tiles = (S + pad) // TILE
+    out, res = pl.pallas_call(
+        functools.partial(_sampler_kernel, n_rows=n_rows, F2=F2, win=win,
+                          align=align),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tile, M, 3), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, TILE, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, M), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TILE, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, table.shape[1], F), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((n_rows, F2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, F), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, F), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, TILE, F2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE // GROUP, GROUP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, TILE, F2), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, TILE // GROUP, GROUP), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_use_interpret(),
-    )(cand_pos, cand_w, table)
-    return out[:, :n]
+    )(rows.reshape(n_tiles, TILE, 2), row_weights.reshape(n_tiles, TILE, 2),
+      table_packed)
+    out = out.reshape(-1, F2)[:S]
+    res = res.reshape(-1)[:S] > 0.5
+    return out, res
 
 
 def _use_interpret() -> bool:
@@ -115,14 +132,79 @@ def _use_interpret() -> bool:
         return True
 
 
-def _kernel_block_squeeze_fix(fn):
-    return fn
+def _pack_table(tri_plane_features_b: jnp.ndarray, feat_dim: int):
+    """(F*3, H, W) → packed (3·H·W, 2F) bf16: row r = [texel r | texel r+1]."""
+    F = feat_dim
+    t = tri_plane_features_b.reshape(3, F, -1)        # (3, F, HW)
+    t = t.transpose(0, 2, 1).reshape(-1, F)           # (3HW, F)
+    shifted = jnp.concatenate([t[1:], jnp.zeros((1, F), t.dtype)], axis=0)
+    return jnp.concatenate([t, shifted], axis=1).astype(jnp.bfloat16)
 
 
-def _xla_reference(feat_dim, tri_plane_features, cand_pos, cand_w, cand_valid):
-    from enarf_gan_tpu.ops.triplane import sample_weighted_feature_candidates
-    return sample_weighted_feature_candidates(feat_dim, tri_plane_features,
-                                              cand_pos, cand_w, cand_valid)
+def _sample_prep(cand_pos: jnp.ndarray, weight: jnp.ndarray, H: int, W: int):
+    """Per-sample rows/weights/post-coeffs for all 3 planes.
+
+    cand_pos: (n, M, 3) canonical positions; weight: (n, M) fold-in weights.
+    Returns rows (3, M, n, 2) int32, wy (3, M, n, 2) f32, cx (3, M, n, 2) f32
+    — sample stream ordered (plane, candidate, point) for ray locality.
+    """
+    n, M, _ = cand_pos.shape
+    HW = H * W
+    rows_l, wy_l, cx_l = [], [], []
+    for p, (i, j) in enumerate(PLANE_COORDS):
+        x = (cand_pos[:, :, i] + 1) * (W / 2) - 0.5   # (n, M)
+        y = (cand_pos[:, :, j] + 1) * (H / 2) - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        in_x0 = (x0 >= 0) & (x0 <= W - 1)
+        in_x1 = (x0 + 1 >= 0) & (x0 + 1 <= W - 1)
+        in_y0 = (y0 >= 0) & (y0 <= H - 1)
+        in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= H - 1)
+        # base column: x0 (packed row also holds x0+1); x0 == -1 is a valid
+        # packed row whose second texel is x=0 (first texel masked by cx0=0)
+        xb = jnp.clip(x0, -1, W - 1).astype(jnp.int32)
+        y0i = jnp.clip(y0, 0, H - 1).astype(jnp.int32)
+        y1i = jnp.clip(y0 + 1, 0, H - 1).astype(jnp.int32)
+        row0 = p * HW + y0i * W + xb
+        row1 = p * HW + y1i * W + xb
+        row0 = jnp.clip(row0, 0, 3 * HW - 1)
+        row1 = jnp.clip(row1, 0, 3 * HW - 1)
+        wy0 = (1 - fy) * in_y0 * weight
+        wy1 = fy * in_y1 * weight
+        cx0 = (1 - fx) * in_x0
+        cx1 = fx * in_x1
+        rows_l.append(jnp.stack([row0, row1], axis=-1))
+        wy_l.append(jnp.stack([wy0, wy1], axis=-1))
+        cx_l.append(jnp.stack([cx0, cx1], axis=-1))
+    # (3, n, M, 2) → (3, M, n, 2) point-fastest
+    rows = jnp.stack(rows_l).transpose(0, 2, 1, 3)
+    wy = jnp.stack(wy_l).transpose(0, 2, 1, 3)
+    cx = jnp.stack(cx_l).transpose(0, 2, 1, 3)
+    return rows.astype(jnp.int32), wy.astype(jnp.float32), cx.astype(jnp.float32)
+
+
+def _scalar_fallback(table_flat_f32, rows, wy, cx, out, residual, feat_dim):
+    """Fix residual samples with flat scalar gathers (fixed capacity)."""
+    S = residual.shape[0]
+    cap = min(FALLBACK_CAP, S)
+    idx = jnp.where(residual, size=cap, fill_value=0)[0]  # (cap,)
+    hit = jnp.take(residual, idx)
+    r = jnp.take(rows.reshape(S, 2), idx, axis=0)         # (cap, 2)
+    w = jnp.take(wy.reshape(S, 2), idx, axis=0)
+    F = feat_dim
+    ch = jnp.arange(2 * F, dtype=jnp.int32)
+    # packed row r = [table[r] | table[r+1]] → flat idx (cap, 2, 2F)
+    base = r[:, :, None] * 1  # rows in texel space
+    tex = jnp.where(ch[None, None, :] < F, base, base + 1)
+    chan = jnp.where(ch[None, None, :] < F, ch[None, None, :],
+                     ch[None, None, :] - F)
+    flat_idx = jnp.clip(tex, 0, table_flat_f32.shape[0] // F - 1) * F + chan
+    vals = jnp.take(table_flat_f32, flat_idx.reshape(-1)).reshape(cap, 2, 2 * F)
+    fixed = (vals * w[:, :, None]).sum(axis=1)            # (cap, 2F)
+    fixed = jnp.where(hit[:, None], fixed, jnp.take(out, idx, axis=0))
+    return out.at[idx].set(fixed)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -131,15 +213,38 @@ def fused_weighted_sample_candidates(feat_dim: int,
                                      cand_pos: jnp.ndarray,
                                      cand_w: jnp.ndarray,
                                      cand_valid: jnp.ndarray) -> jnp.ndarray:
-    """Pallas-fused version of sample_weighted_feature_candidates.
+    """Kernel-accelerated sample_weighted_feature_candidates.
 
     Args mirror ops/triplane.py: planes (B, F*3, H, W), cand_pos (B, n, M, 3),
     cand_w / cand_valid (B, n, M). Returns (B, F, n) float32.
     """
-    table, H, W = _planes_to_table(tri_plane_features, feat_dim)
-    w = (cand_w * cand_valid).astype(cand_pos.dtype)
-    out = _fused_forward(table, cand_pos, w, H, W)  # (B, n, F)
-    return out.transpose(0, 2, 1)
+    B, C3, H, W = tri_plane_features.shape
+    F = feat_dim
+    n, M = cand_pos.shape[1], cand_pos.shape[2]
+    weight = (cand_w * cand_valid).astype(jnp.float32)
+
+    outs = []
+    for b in range(B):  # plane tables are per batch item (VMEM residency)
+        table = _pack_table(tri_plane_features[b, :F * 3], F)
+        rows, wy, cx = _sample_prep(cand_pos[b], weight[b], H, W)
+        S = 3 * M * n
+        g, residual = windowed_sample(table, rows.reshape(S, 2),
+                                      wy.reshape(S, 2))
+        table_flat = tri_plane_features[b, :F * 3].reshape(3, F, H * W) \
+            .transpose(0, 2, 1).reshape(-1)
+        g = _scalar_fallback(table_flat, rows.reshape(S, 2), wy.reshape(S, 2),
+                             cx, g, residual, F)
+        cxf = cx.reshape(S, 2)
+        vals = g[:, :F] * cxf[:, 0:1] + g[:, F:] * cxf[:, 1:2]  # (S, F)
+        vals = vals.reshape(3, M, n, F).sum(axis=(0, 1))        # (n, F)
+        outs.append(vals.T)
+    return jnp.stack(outs)  # (B, F, n)
+
+
+def _xla_reference(feat_dim, tri_plane_features, cand_pos, cand_w, cand_valid):
+    from enarf_gan_tpu.ops.triplane import sample_weighted_feature_candidates
+    return sample_weighted_feature_candidates(feat_dim, tri_plane_features,
+                                              cand_pos, cand_w, cand_valid)
 
 
 def _fwd(feat_dim, tri_plane_features, cand_pos, cand_w, cand_valid):
@@ -166,11 +271,11 @@ def fused_weighted_sample(tri_plane_features: jnp.ndarray,
                           position_validity: jnp.ndarray,
                           clamp_mask: bool = False) -> jnp.ndarray:
     """Dense (B, K, 3, n) layout adapter → fused candidate kernel with M=K."""
-    del clamp_mask  # sum reduction has no clamp
+    del clamp_mask
     B, K, _, n = position.shape
     feat_dim = tri_plane_features.shape[1] // 3
-    cand_pos = position.transpose(0, 3, 1, 2)      # (B, n, K, 3)
-    cand_w = weight.transpose(0, 2, 1)             # (B, n, K)
+    cand_pos = position.transpose(0, 3, 1, 2)
+    cand_w = weight.transpose(0, 2, 1)
     cand_valid = position_validity.transpose(0, 2, 1)
     return fused_weighted_sample_candidates(feat_dim, tri_plane_features,
                                             cand_pos, cand_w, cand_valid)

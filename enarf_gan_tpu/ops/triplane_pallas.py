@@ -19,6 +19,13 @@ as **windowed one-hot matmuls**, which the MXU eats:
 
 Forward-only fast path: the custom VJP recomputes gradients through the XLA
 formulation (exact; training keeps XLA, inference gets the kernel).
+
+STATUS (measured on v5e): 10x faster than the XLA gather path and exact in
+interpret mode, but contiguous row windows only capture 1-D locality — a
+ray's y-motion jumps W rows per texel, so spread samples overflow the
+residual capacity. Production enablement needs the planned v2: 2-D
+tile-reordered tables + radix bucketing of samples by tile (see PERF.md).
+Enable experimentally with ENARF_PALLAS=1.
 """
 from __future__ import annotations
 

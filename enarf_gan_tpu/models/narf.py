@@ -80,6 +80,9 @@ class NARFParams:
     # top-M sparse bone gather (ops/triplane.py sample_weighted_feature_topm);
     # None/num_bone = exact dense. 4 covers real cube overlaps.
     max_bones_per_point: int = 4
+    # dtype the feature planes are sampled in; bf16 gathers measure ~5x
+    # faster on TPU (PERF.md), accumulation stays f32
+    plane_sample_dtype: str = "bfloat16"
 
     @classmethod
     def from_config(cls, nerf_params, view_dependent: Optional[bool] = None):
@@ -109,6 +112,7 @@ class NARFParams:
             selector_mlp=bool(get("selector_mlp", False)),
             no_selector=bool(get("no_selector", False)),
             max_bones_per_point=int(get("max_bones_per_point", 4)),
+            plane_sample_dtype=get("plane_sample_dtype", "bfloat16"),
             time_conditional=bool(get("time_conditional", False)),
             pose_conditional=bool(get("pose_conditional", False)),
             tri_plane_size=int(get("tri_plane_size", 256)),
@@ -336,6 +340,9 @@ class TriPlaneNARF(nn.Module):
                 sample_weighted_feature_candidates)
             cand_idx, cand_valid, cand_pos = select_candidate_bones(
                 canonical_pts, validity, p.max_bones_per_point)
+            feat_planes = tri_plane_feature[:, :fch]
+            if p.plane_sample_dtype == "bfloat16":
+                feat_planes = feat_planes.astype(jnp.bfloat16)
             cand_w = sample_part_prob_candidates(
                 tri_plane_feature[:, fch:], cand_idx, cand_pos,
                 clamp_mask=p.clamp_mask)  # (B, n, M)
@@ -343,12 +350,14 @@ class TriPlaneNARF(nn.Module):
                 from enarf_gan_tpu.ops.triplane_pallas import (
                     fused_weighted_sample_candidates)
                 feature = fused_weighted_sample_candidates(
-                    p.feat_dim, tri_plane_feature[:, :fch], cand_pos, cand_w,
+                    p.feat_dim, feat_planes, cand_pos, cand_w,
                     cand_valid)  # (B, 32, n) — fused Pallas gather
             else:
                 feature = sample_weighted_feature_candidates(
-                    p.feat_dim, tri_plane_feature[:, :fch], cand_pos, cand_w,
-                    cand_valid, clamp_mask=p.clamp_mask)  # (B, 32, n)
+                    p.feat_dim, feat_planes, cand_pos,
+                    cand_w.astype(feat_planes.dtype),
+                    cand_valid, clamp_mask=p.clamp_mask)
+            feature = feature.astype(jnp.float32)  # (B, 32, n)
             weight_max = (cand_w * cand_valid).max(axis=2)[:, None]  # (B,1,n)
             weight = cand_w.transpose(0, 2, 1)  # (B, M, n) for aux
         else:

@@ -271,6 +271,10 @@ def sample_weighted_feature(feat_dim: int, tri_plane_features: jnp.ndarray,
 
 
 def _pallas_available() -> bool:
+    """Experimental fused kernel opt-in (see ops/triplane_pallas.py STATUS)."""
+    import os
+    if os.environ.get("ENARF_PALLAS", "0") != "1":
+        return False
     import jax
     try:
         return jax.devices()[0].platform == "tpu"

@@ -64,10 +64,11 @@ def main():
                         jnp.asarray(pose_cam), jnp.asarray(inv_K), ft,
                         jnp.asarray(bl))
 
-    # warmup / compile
+    # warmup / compile (hard host-fetch sync: block_until_ready does not
+    # reliably fence on remote runtimes)
     t_compile = time.perf_counter()
     out = render_once(0)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[0]).ravel()[0]
     import sys
     print(f"# compile+first render: {time.perf_counter() - t_compile:.1f}s",
           file=sys.stderr)
@@ -76,14 +77,14 @@ def main():
     t0 = time.perf_counter()
     for i in range(reps):
         out = render_once(i + 1)
-    jax.block_until_ready(out)
+        _ = np.asarray(out[0]).ravel()[0]
     dt = time.perf_counter() - t0
 
     mrays = n_rays * reps / dt / 1e6
     baseline = 50.0  # Mrays/s/chip north star (BASELINE.json)
     print(json.dumps({"metric": "volume_render_mrays_per_sec",
-                      "value": round(mrays, 3), "unit": "Mrays/s",
-                      "vs_baseline": round(mrays / baseline, 4)}))
+                      "value": round(mrays, 6), "unit": "Mrays/s",
+                      "vs_baseline": round(mrays / baseline, 6)}))
 
 
 if __name__ == "__main__":

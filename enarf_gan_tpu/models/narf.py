@@ -38,17 +38,12 @@ from enarf_gan_tpu.ops.triplane import (
     sample_triplane_part_prob, sample_weighted_feature)
 
 
-def _use_pallas_gather() -> bool:
-    """Fused Pallas gather is opt-in: Mosaic's dynamic-gather requires
-    index/input shape agreement, so the jnp.take row-gather kernel only runs
-    in interpret mode / future Mosaic versions. Enable with ENARF_PALLAS=1."""
+def _use_rowtable() -> bool:
+    """Row-table sampling (ops/rowtable.py) is the default hot path on every
+    platform; ENARF_ROWTABLE=0 falls back to the per-plane grid-sample path
+    (kept as the correctness oracle)."""
     import os
-    if os.environ.get("ENARF_PALLAS", "0") != "1":
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return os.environ.get("ENARF_ROWTABLE", "1") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,9 +75,10 @@ class NARFParams:
     # top-M sparse bone gather (ops/triplane.py sample_weighted_feature_topm);
     # None/num_bone = exact dense. 4 covers real cube overlaps.
     max_bones_per_point: int = 4
-    # dtype the feature planes are sampled in; bf16 gathers measure ~5x
-    # faster on TPU (PERF.md), accumulation stays f32
-    plane_sample_dtype: str = "bfloat16"
+    # dtype the packed row table is sampled in; TPU row gathers are
+    # issue-rate-bound, not bandwidth-bound (PERF.md), so f32 costs the same
+    # as bf16 and keeps full precision
+    plane_sample_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, nerf_params, view_dependent: Optional[bool] = None):
@@ -112,7 +108,7 @@ class NARFParams:
             selector_mlp=bool(get("selector_mlp", False)),
             no_selector=bool(get("no_selector", False)),
             max_bones_per_point=int(get("max_bones_per_point", 4)),
-            plane_sample_dtype=get("plane_sample_dtype", "bfloat16"),
+            plane_sample_dtype=get("plane_sample_dtype", "float32"),
             time_conditional=bool(get("time_conditional", False)),
             pose_conditional=bool(get("pose_conditional", False)),
             tri_plane_size=int(get("tri_plane_size", 256)),
@@ -335,24 +331,30 @@ class TriPlaneNARF(nn.Module):
             # sparse fast path: gather mask probs AND features only for the
             # M most-central valid bones (static-shape analog of the
             # reference's valid-pair gather, sampling.py:99-123)
-            from enarf_gan_tpu.ops.triplane import (
-                select_candidate_bones, sample_part_prob_candidates,
-                sample_weighted_feature_candidates)
+            from enarf_gan_tpu.ops.triplane import select_candidate_bones
             cand_idx, cand_valid, cand_pos = select_candidate_bones(
                 canonical_pts, validity, p.max_bones_per_point)
-            feat_planes = tri_plane_feature[:, :fch]
-            if p.plane_sample_dtype == "bfloat16":
-                feat_planes = feat_planes.astype(jnp.bfloat16)
-            cand_w = sample_part_prob_candidates(
-                tri_plane_feature[:, fch:], cand_idx, cand_pos,
-                clamp_mask=p.clamp_mask)  # (B, n, M)
-            if _use_pallas_gather():
-                from enarf_gan_tpu.ops.triplane_pallas import (
-                    fused_weighted_sample_candidates)
-                feature = fused_weighted_sample_candidates(
-                    p.feat_dim, feat_planes, cand_pos, cand_w,
-                    cand_valid)  # (B, 32, n) — fused Pallas gather
+            if _use_rowtable():
+                # channels-minor row table: 2 row gathers per sample fetch
+                # feature AND mask lanes together (ops/rowtable.py)
+                from enarf_gan_tpu.ops.rowtable import (
+                    pack_rowtable, sample_candidates_rowtable)
+                dt = jnp.bfloat16 if p.plane_sample_dtype == "bfloat16" \
+                    else jnp.float32
+                table = pack_rowtable(tri_plane_feature, p.feat_dim, K, dt)
+                feature, cand_w = sample_candidates_rowtable(
+                    table, cand_pos, cand_idx, cand_valid, p.feat_dim, K,
+                    ts, ts, clamp_mask=p.clamp_mask)
             else:
+                from enarf_gan_tpu.ops.triplane import (
+                    sample_part_prob_candidates,
+                    sample_weighted_feature_candidates)
+                feat_planes = tri_plane_feature[:, :fch]
+                if p.plane_sample_dtype == "bfloat16":
+                    feat_planes = feat_planes.astype(jnp.bfloat16)
+                cand_w = sample_part_prob_candidates(
+                    tri_plane_feature[:, fch:], cand_idx, cand_pos,
+                    clamp_mask=p.clamp_mask)  # (B, n, M)
                 feature = sample_weighted_feature_candidates(
                     p.feat_dim, feat_planes, cand_pos,
                     cand_w.astype(feat_planes.dtype),

@@ -44,18 +44,30 @@ def smpl_forward(model, poses, betas):
         jnp.asarray(model["J_regressor"]), model["parents"]))
 
 
-def read_frame(video_path, return_mask=False):
+def first_video_frame(video_path):
+    """Decode frame 0 of a SURREAL clip (BGR uint8, 240x320)."""
     import cv2
-    import scipy.io
     cap = cv2.VideoCapture(video_path)
-    ret, frame = cap.read()
-    cap.release()
-    if return_mask:
-        mask = scipy.io.loadmat(video_path[:-4] + "_segm.mat", squeeze_me=True)
-        mask = mask["segm_1"] > 0
-        frame = frame * mask[:, :, None]
-        return frame, mask
-    return frame, None
+    try:
+        ok, frame = cap.read()
+    finally:
+        cap.release()
+    return frame if ok else None
+
+
+def foreground_mask(video_path):
+    """Person mask of frame 0 from the clip's ``*_segm.mat`` sidecar."""
+    import scipy.io
+    segm = scipy.io.loadmat(video_path[:-4] + "_segm.mat", squeeze_me=True)
+    return segm["segm_1"] > 0
+
+
+def read_frame(video_path, return_mask=False):
+    frame = first_video_frame(video_path)
+    if frame is None or not return_mask:
+        return frame, None
+    mask = foreground_mask(video_path)
+    return frame * mask[:, :, None], mask
 
 
 def read_pose_and_crop(video_path, smpl_models):

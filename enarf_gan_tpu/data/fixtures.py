@@ -74,6 +74,38 @@ def camera_ring(n_camera: int, radius: float = 1.2,
     return np.stack(outs)
 
 
+def make_synthetic_depth_cache(data_root: str, size: int = 64,
+                               n_items: int = 4, seed: int = 0) -> Dict:
+    """Write a SURREAL-style depth cache (NARF_GAN_depth_cache layout).
+
+    Same wire format ``data_preprocess/surreal/preprocess_depth.py`` emits:
+    per-item disparity map + intrinsics + camera-space SMPL pose (SURREAL
+    poses are already in the camera frame — reference dataset.py:308-345).
+    """
+    rest = synthetic_rest_joints(seed)
+    world_poses = synthetic_pose_sequence(rest, n_items, seed + 1)
+    extrinsics = camera_ring(n_items)
+    focal = size * 1.2
+    K = np.array([[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1]],
+                 np.float32)
+    hpp = SMPLProperty()
+    disps, intr, poses = [], [], []
+    for i in range(n_items):
+        pose_cam = extrinsics[i][None] @ world_poses[i]  # (24, 4, 4)
+        jpi = pose_to_image_coord(pose_cam, K)
+        jm, jp = add_blank_part(pose_cam[None], jpi)
+        disparity, _, _, _ = create_mask(hpp, jm, jp, size,
+                                         thickness=max(size / 64, 1.0))
+        disps.append(disparity.astype(np.float32))
+        intr.append(K)
+        poses.append(pose_cam.astype(np.float32))
+    save_cache_npz(data_root, disparity=np.stack(disps),
+                   camera_intrinsic=np.stack(intr), smpl_pose=np.stack(poses))
+    canonical = canonical_pose_from_rest_joints(rest)
+    np.save(os.path.join(data_root, "canonical.npy"), canonical)
+    return {"canonical_pose": canonical, "n_items": n_items}
+
+
 def make_synthetic_human_cache(data_root: str, size: int = 64, n_frames: int = 4,
                                n_camera: int = 3, seed: int = 0,
                                with_disparity: bool = False) -> Dict:

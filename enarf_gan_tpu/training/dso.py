@@ -206,6 +206,9 @@ def train_loop(config, gen, datasets, loaders, canonical_pose,
     accum_time = 0.0
     train_losses = {"color": 0.0, "mask": 0.0}
     history = []
+    pending = []  # device-side metrics awaiting bulk host fetch
+    flush_interval = max(1, min(int(config.print_interval),
+                                int(config.tensorboard_interval)))
 
     while iteration < num_iter:
         for batch in train_loader:
@@ -215,16 +218,29 @@ def train_loop(config, gen, datasets, loaders, canonical_pose,
             jbatch = prepare_batch(batch, mesh)
             variables, opt_state, metrics = train_step(variables, opt_state,
                                                        step_rng, jbatch)
-            train_losses["color"] += float(metrics["loss_color"])
-            train_losses["mask"] += float(metrics["loss_mask"])
-            history.append(float(metrics["loss"]))
+            # metrics stay on device; fetching every step serializes dispatch.
+            # Bulk-fetch at print_interval (reference cadence,
+            # train_DSO.py:252-253) and at val/save boundaries.
+            pending.append(metrics)
             iteration += 1
+            flush_due = (iteration % flush_interval == 0
+                         or iteration >= num_iter
+                         or iteration % config.print_interval == 0
+                         or iteration % config.tensorboard_interval == 0
+                         or iteration % config.save_interval == 0
+                         or iteration % config.val_interval == 0)
+            if flush_due and pending:
+                for m in jax.device_get(pending):
+                    train_losses["color"] += float(m["loss_color"])
+                    train_losses["mask"] += float(m["loss_mask"])
+                    history.append(float(m["loss"]))
+                pending.clear()
             if verbose and iteration % config.print_interval == 0:
                 print(f"{iteration} iter, "
                       f"{(time.time() - start) / max(iteration, 1):.3f} s/iter, "
-                      f"loss {float(metrics['loss']):.4f}")
-            if iteration % config.tensorboard_interval == 0:
-                writer.scalar(iteration, metrics["loss"], "gen")
+                      f"loss {history[-1]:.4f}")
+            if iteration % config.tensorboard_interval == 0 and history:
+                writer.scalar(iteration, history[-1], "gen")
             if iteration % config.save_interval == 0:
                 ckpt.save_checkpoint(out_dir,
                                      {"iteration": iteration,

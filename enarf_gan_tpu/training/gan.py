@@ -251,6 +251,7 @@ def train_loop(config, gen, dis, datasets, loaders, canonical_pose,
     batchsize = config.dataset.bs
     start = time.time()
     history = []
+    pending = []  # device-side metric dicts awaiting bulk host fetch
 
     img_iter = iter(loader_img)
     pose_iter = iter(loader_pose)
@@ -278,15 +279,23 @@ def train_loop(config, gen, dis, datasets, loaders, canonical_pose,
         if iteration % R1_INTERVAL == 0:
             state, r1_metrics = r1_step(state, real_img)
             metrics.update(r1_metrics)
-        history.append({k: float(v) for k, v in metrics.items()})
+        # keep metrics on device; a per-step float() fetch would serialize
+        # dispatch (one host round-trip per iteration). Flush every 10 iters
+        # — the reference's own telemetry cadence (train_ENARF_GAN.py:241).
+        pending.append(metrics)
         iteration += 1
 
-        if verbose and (iteration % 10 == 0):
-            print(f"{iteration} iter, "
-                  f"{(time.time() - start) / iteration:.3f} s/iter, "
-                  f"G {history[-1]['loss_gen']:.3f} D {history[-1]['adv_loss_dis']:.3f}")
+        if iteration % 10 == 0 or iteration >= num_iter:
+            history.extend({k: float(v) for k, v in m.items()}
+                           for m in jax.device_get(pending))
+            pending.clear()
+            if verbose and iteration % 10 == 0:
+                print(f"{iteration} iter, "
+                      f"{(time.time() - start) / iteration:.3f} s/iter, "
+                      f"G {history[-1]['loss_gen']:.3f} "
+                      f"D {history[-1]['adv_loss_dis']:.3f}")
         if iteration % 100 == 0:
-            for k, v in metrics.items():
+            for k, v in history[-1].items():
                 writer.scalar(iteration, v, k)
         if iteration == 10:
             with open(os.path.join(out_dir, "iter_10_succeeded.txt"), "w") as f:

@@ -182,3 +182,87 @@ def test_train_gan_cli(synth, tmp_path):
     out_dir = f"{tmp_path}/out/result/cli_gan"
     assert os.path.exists(f"{out_dir}/real.png")
     assert os.path.exists(f"{out_dir}/command.txt")
+
+
+def test_compute_depth_chain(tmp_path):
+    """Depth-eval chain end-to-end: synthetic NARF_GAN_depth_cache →
+    SurrealPoseDepthDataset → evaluation/compute_depth.py → disparity_mse.txt
+    (reference evaluation/compute_depth.py + surreal/preprocess_depth.py)."""
+    from enarf_gan_tpu.data.fixtures import make_synthetic_depth_cache
+    surreal_root = tmp_path / "surreal"
+    make_synthetic_depth_cache(str(surreal_root / "NARF_GAN_depth_cache"),
+                               size=32, n_items=2)
+
+    default = tmp_path / "gan_default.yml"
+    default.write_text(textwrap.dedent(f"""
+        out_root: {tmp_path}/out
+        out: depth_eval
+        dataset:
+          bs: 2
+          image_size: 32
+          train:
+            data_root:
+        generator_params:
+          z_dim: 16
+          patch_size: 24
+          background_ratio: 0.3
+          use_triplane: True
+          crop_background: True
+          pretrained_background: False
+          channel_max: 32
+          nerf_params:
+            w_dim: 32
+            tri_plane_size: 16
+            final_activation: tanh
+            hidden_size: 16
+            out_dim: 16
+            Nc: 4
+            Nf: 4
+            no_ray_direction: False
+            mask_input: False
+            origin_location: center_fixed
+            coordinate_scale: 3
+        discriminator_params:
+          minibatch_std: True
+          channel_max: 32
+        loss:
+          adv_loss_type: ce
+          bone_guided_coef: 10
+          r1_loss_coef: 0.01
+          tri_plane_reg_coef: 0.001
+        n_accum_step: 1
+        num_iter: 10
+        resume:
+    """))
+
+    # author a snapshot for the eval to load (untrained weights suffice to
+    # prove the plumbing)
+    import jax
+    from enarf_gan_tpu.config import yaml_config, AttrDict
+    from enarf_gan_tpu.data.datasets import SurrealPoseDepthDataset
+    from enarf_gan_tpu.training import gan, checkpoint as ckpt
+    config = yaml_config(str(default), str(default))
+    ds = SurrealPoseDepthDataset(
+        AttrDict({"data_root": f"{surreal_root}/NARF_GAN_depth_cache"}),
+        size=32)
+    assert len(ds) == 2 and ds[0]["img"].shape == (32, 32)
+    gen, dis = gan.build_models(config, ds.num_bone, ds.parents)
+    first = ds[0]
+    sample_batch = {
+        "pose_to_camera": first["pose_3d"][None],
+        "pose_to_world": first["pose_3d_world"][None],
+        "bone_length": first["bone_length"][None],
+        "intrinsics": first["intrinsics"][None],
+    }
+    state, _, _ = gan.init_gan_state(config, gen, dis, ds.canonical_pose,
+                                     jax.random.PRNGKey(0), sample_batch)
+    out_dir = f"{tmp_path}/out/result/depth_eval"
+    ckpt.save_checkpoint(out_dir, {"iteration": 0, **state}, 0)
+
+    run_cli("evaluation/compute_depth.py",
+            ["--surreal_path", str(surreal_root),
+             "--config", str(default), "--default_config", str(default),
+             "--num_sample", "2", "--batch_size", "1"])
+    mse_path = f"{out_dir}/disparity_mse.txt"
+    assert os.path.exists(mse_path)
+    assert np.isfinite(float(open(mse_path).read()))

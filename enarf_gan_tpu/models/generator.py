@@ -106,6 +106,12 @@ class DSONARFGenerator(nn.Module):
                                               z_or_planes, z_rend, ray_direction)
         return d, c
 
+    def pack_planes(self, z_or_planes):
+        """Hoist the sampling-table pack out of per-chunk/per-pass calls."""
+        if self.use_triplane:
+            return self.nerf.pack_planes(z_or_planes)
+        return z_or_planes
+
     def __call__(self, rng: jax.Array, pose_to_camera, camera_pose, mask,
                  frame_time, bone_length, inv_intrinsics,
                  background: Optional[float] = None):
@@ -119,7 +125,7 @@ class DSONARFGenerator(nn.Module):
         pose_t, bl_t = self.transform_pose(pose_to_camera, bone_length)
 
         if self.use_triplane:
-            cond = self.compute_tri_plane_feature(z, bl_t)
+            cond = self.pack_planes(self.compute_tri_plane_feature(z, bl_t))
         else:
             cond = z
 
@@ -194,6 +200,10 @@ class TriNARFGenerator(nn.Module):
                                           planes, z_rend, ray_direction)
         return d, c
 
+    def pack_planes(self, planes):
+        """Hoist the sampling-table pack out of per-chunk/per-pass calls."""
+        return self.nerf.pack_planes(planes)
+
     def background(self, z_bg, z_rend, rng=None, train: bool = False):
         """(reference generator.py:101-104): style-mixed background at
         inject_index n_latent-4."""
@@ -223,10 +233,11 @@ class TriNARFGenerator(nn.Module):
         pose_t, bl_t = self.transform_pose(pose_to_camera, bone_length)
         planes = self.compute_tri_plane_feature(z_nerf, bl_t, truncation_psi,
                                                 update_w_avg=train)
+        planes_packed = self.pack_planes(planes)
 
         def fn(points, ray_dir, pose_scaled):
-            return self.nerf_density_color(points, pose_scaled, bl_t, planes,
-                                           z_rend, ray_dir)
+            return self.nerf_density_color(points, pose_scaled, bl_t,
+                                           planes_packed, z_rend, ray_dir)
 
         fg_color, fg_mask, disparity, raux = render_rays(
             rng_fine, fn, img_coord, pose_t, inv_intrinsics, self.render_cfg(),
@@ -300,6 +311,7 @@ def dso_render_entire_img(gen: DSONARFGenerator, variables, rng,
                              method="transform_pose")
     if gen.use_triplane:
         cond = gen.apply(variables, z, bl_t, method="compute_tri_plane_feature")
+        cond = gen.apply(variables, cond, method="pack_planes")
     else:
         cond = z
 
@@ -365,6 +377,7 @@ def gan_render_entire_img(gen: TriNARFGenerator, variables, rng, pose_to_camera,
                              method="transform_pose")
     planes = gen.apply(variables, z_nerf, bl_t, truncation_psi,
                        method="compute_tri_plane_feature")
+    planes = gen.apply(variables, planes, method="pack_planes")
 
     def fn(points, ray_dir, pose_scaled):
         return gen.apply(variables, points, pose_scaled, bl_t, planes, z_rend,

@@ -38,12 +38,22 @@ from enarf_gan_tpu.ops.triplane import (
     sample_triplane_part_prob, sample_weighted_feature)
 
 
-def _use_rowtable() -> bool:
-    """Row-table sampling (ops/rowtable.py) is the default hot path on every
-    platform; ENARF_ROWTABLE=0 falls back to the per-plane grid-sample path
-    (kept as the correctness oracle)."""
+def _sampler_kind() -> str:
+    """Which candidate-sparse tri-plane sampler drives the hot path.
+
+    "quad" (default): ops/quadtable.py — ONE row gather per
+    (point, candidate, plane), the fastest XLA formulation measured on TPU
+    (row gathers are issue-rate-bound; see PERF.md).
+    "rowtable": ops/rowtable.py — two row gathers per sample (v2 path).
+    "gridsample": per-plane grid-sample path (correctness oracle).
+    """
     import os
-    return os.environ.get("ENARF_ROWTABLE", "1") == "1"
+    kind = os.environ.get("ENARF_SAMPLER")
+    if kind in ("quad", "rowtable", "gridsample"):
+        return kind
+    if os.environ.get("ENARF_ROWTABLE") == "0":  # legacy opt-out
+        return "gridsample"
+    return "quad"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -298,6 +308,35 @@ class TriPlaneNARF(nn.Module):
                                          position_validity, mode="prod",
                                          clamp_mask=p.clamp_mask)
 
+    @property
+    def plane_sample_dtype(self):
+        return (jnp.bfloat16 if self.params.plane_sample_dtype == "bfloat16"
+                else jnp.float32)
+
+    def uses_candidate_sampling(self) -> bool:
+        p = self.params
+        return (p.max_bones_per_point < self.num_bone and not p.no_selector
+                and not p.selector_mlp)
+
+    def pack_planes(self, tri_plane_feature):
+        """Pre-pack planes into the active sampler's table.
+
+        Callers that evaluate density_color many times per frame (the chunked
+        full-image scan, coarse+fine passes) hoist the pack here so it runs
+        once per frame instead of once per chunk (reference analog: the
+        tri-plane is computed once per image, NARF/base.py:53-63).
+        Returns the input unchanged when the active sampler keeps raw planes.
+        """
+        if (tri_plane_feature is not None
+                and not isinstance(tri_plane_feature, tuple)
+                and tri_plane_feature.ndim == 4
+                and self.uses_candidate_sampling()
+                and _sampler_kind() == "quad"):
+            from enarf_gan_tpu.ops.quadtable import pack_quadtable
+            return pack_quadtable(tri_plane_feature, self.params.feat_dim,
+                                  self.num_bone, self.plane_sample_dtype)
+        return tri_plane_feature
+
     def density_color(self, position, pose_to_camera, bone_length,
                       tri_plane_feature, z_rend, ray_direction=None):
         """Density + color at camera-frame positions
@@ -327,6 +366,10 @@ class TriPlaneNARF(nn.Module):
 
         use_candidates = (p.max_bones_per_point < K and not p.no_selector
                           and not p.selector_mlp)
+        packed = isinstance(tri_plane_feature, tuple)
+        if packed:
+            assert use_candidates, \
+                "pre-packed sampling tables require the candidate fast path"
         if use_candidates:
             # sparse fast path: gather mask probs AND features only for the
             # M most-central valid bones (static-shape analog of the
@@ -334,14 +377,24 @@ class TriPlaneNARF(nn.Module):
             from enarf_gan_tpu.ops.triplane import select_candidate_bones
             cand_idx, cand_valid, cand_pos = select_candidate_bones(
                 canonical_pts, validity, p.max_bones_per_point)
-            if _use_rowtable():
+            kind = _sampler_kind()
+            if packed or kind == "quad":
+                # quad table: ONE row gather per (pt, cand, plane); feature
+                # AND mask lanes ride the same row (ops/quadtable.py)
+                from enarf_gan_tpu.ops.quadtable import (
+                    pack_quadtable, sample_candidates_quadtable)
+                table = tri_plane_feature if packed else pack_quadtable(
+                    tri_plane_feature, p.feat_dim, K, self.plane_sample_dtype)
+                feature, cand_w = sample_candidates_quadtable(
+                    table, cand_pos, cand_idx, cand_valid, p.feat_dim, K,
+                    ts, ts, clamp_mask=p.clamp_mask)
+            elif kind == "rowtable":
                 # channels-minor row table: 2 row gathers per sample fetch
                 # feature AND mask lanes together (ops/rowtable.py)
                 from enarf_gan_tpu.ops.rowtable import (
                     pack_rowtable, sample_candidates_rowtable)
-                dt = jnp.bfloat16 if p.plane_sample_dtype == "bfloat16" \
-                    else jnp.float32
-                table = pack_rowtable(tri_plane_feature, p.feat_dim, K, dt)
+                table = pack_rowtable(tri_plane_feature, p.feat_dim, K,
+                                      self.plane_sample_dtype)
                 feature, cand_w = sample_candidates_rowtable(
                     table, cand_pos, cand_idx, cand_valid, p.feat_dim, K,
                     ts, ts, clamp_mask=p.clamp_mask)

@@ -102,16 +102,23 @@ def coarse_sample(image_coord: jnp.ndarray, pose_to_camera: jnp.ndarray,
                   inv_intrinsics: jnp.ndarray, near_plane: float = 0.3,
                   far_plane: float = 5.0, Nc: int = 64,
                   camera_pose: Optional[jnp.ndarray] = None,
-                  view_dependent: bool = False):
+                  view_dependent: bool = False, frustum=None):
     """Uniform bin midpoints per ray (reference rendering.py:82-135, no compaction).
+
+    ``frustum`` optionally carries a precomputed
+    (dmin, dmax, ray_direction, validity) — the full-image path probes all
+    rays once per frame instead of once per chunk.
 
     Returns (coarse_depth (B,1,n,Nc+1), ray_dir_world (B,3,n)|None,
     coarse_points (B,3,n*Nc), validity (B,1,1,n), depth_min/max (B,1,n),
     start/end (B,3,n)).
     """
     B = image_coord.shape[0]
-    dmin, dmax, ray_direction, validity = decide_frustum_range(
-        image_coord, pose_to_camera, inv_intrinsics, near_plane, far_plane)
+    if frustum is None:
+        dmin, dmax, ray_direction, validity = decide_frustum_range(
+            image_coord, pose_to_camera, inv_intrinsics, near_plane, far_plane)
+    else:
+        dmin, dmax, ray_direction, validity = frustum
     if view_dependent:
         assert camera_pose is not None
         rd = ray_direction / jnp.linalg.norm(ray_direction, axis=1, keepdims=True)
@@ -167,7 +174,8 @@ def fine_sample_depths(rng: jax.Array, weights: jnp.ndarray, Nf: int,
 def coarse_to_fine_sample(rng: jax.Array, density_fn: DensityColorFn,
                           image_coord: jnp.ndarray, pose_to_camera: jnp.ndarray,
                           inv_intrinsics: jnp.ndarray, cfg: RenderConfig,
-                          camera_pose: Optional[jnp.ndarray] = None):
+                          camera_pose: Optional[jnp.ndarray] = None,
+                          frustum=None):
     """Coarse pass → transmittance weights → fine depths/points
     (reference rendering.py:138-224)."""
     B, _, _, n = image_coord.shape
@@ -175,7 +183,7 @@ def coarse_to_fine_sample(rng: jax.Array, density_fn: DensityColorFn,
     (coarse_depth, ray_dir_world, coarse_points, validity,
      dmin, dmax, start, end) = coarse_sample(
         image_coord, pose_to_camera, inv_intrinsics, cfg.near_plane,
-        cfg.far_plane, Nc, camera_pose, cfg.view_dependent)
+        cfg.far_plane, Nc, camera_pose, cfg.view_dependent, frustum=frustum)
 
     coarse_density, _ = density_fn(lax.stop_gradient(coarse_points), None,
                                pose_to_camera)
@@ -200,20 +208,22 @@ def coarse_to_fine_sample(rng: jax.Array, density_fn: DensityColorFn,
 def render_rays(rng: jax.Array, density_color_fn: DensityColorFn,
                 image_coord: jnp.ndarray, pose_to_camera: jnp.ndarray,
                 inv_intrinsics: jnp.ndarray, cfg: RenderConfig,
-                camera_pose: Optional[jnp.ndarray] = None):
+                camera_pose: Optional[jnp.ndarray] = None,
+                frustum=None, pose_prescaled: bool = False):
     """Render sampled rays → (color (B,3,n), mask (B,n), disparity (B,n), aux).
 
     Matches reference render() (rendering.py:227-359); ``aux`` carries what
     ``model.buffers_tensors`` carried (fine_weights, fine_depth) as explicit
-    outputs.
+    outputs. ``frustum``/``pose_prescaled`` let the full-image path hoist the
+    per-frame probe and pose scaling out of the chunk scan.
     """
     B, _, _, n = image_coord.shape
-    if cfg.coordinate_scale != 1:
+    if cfg.coordinate_scale != 1 and not pose_prescaled:
         pose_to_camera = pose_to_camera.at[:, :, :3, 3].multiply(cfg.coordinate_scale)
 
     fine_depth, fine_points, ray_dir_world, validity = coarse_to_fine_sample(
         rng, density_color_fn, image_coord, pose_to_camera, inv_intrinsics,
-        cfg, camera_pose)
+        cfg, camera_pose, frustum=frustum)
 
     fine_density, fine_color = density_color_fn(fine_points, ray_dir_world,
                                                  pose_to_camera)
@@ -272,22 +282,78 @@ def render_entire_img(rng: jax.Array, density_color_fn: DensityColorFn,
     chunk = min(ray_batchsize, npix)
     n_chunks = -(-npix // chunk)
     pad = n_chunks * chunk - npix
-    coords = jnp.pad(coords, ((0, 0), (0, pad)))
-    coords = coords.reshape(1, 1, 3, n_chunks, chunk).transpose(3, 0, 1, 2, 4)
+    p2c = pose_to_camera[:1]
+    if cfg.coordinate_scale != 1:
+        p2c = p2c.at[:, :, :3, 3].multiply(cfg.coordinate_scale)
+
+    # Frame-level frustum probe, once (the per-chunk probe repeated identical
+    # work; reference probes per render() call, rendering.py:10-79).
+    dmin, dmax, ray_dir, validity = decide_frustum_range(
+        coords.reshape(1, 1, 3, npix), p2c, inv_intrinsics, cfg.near_plane,
+        cfg.far_plane)
+    valid1 = validity.reshape(npix)
+
+    # Ray compaction: process valid rays first and skip all-invalid chunks —
+    # the static-shape analog of the reference's batchsize==1 invalid-ray
+    # compaction (rendering.py:107-110,337-350). Exact: invalid rays output
+    # zeros either way; only their (zero) chunks are skipped.
+    order = jnp.argsort(jnp.logical_not(valid1), stable=True)  # valid first
+    inv_order = jnp.argsort(order)
+
+    def permute(x, axis):
+        return jnp.take(x, order, axis=axis)
+
+    coords_s = permute(coords, 1)
+    frustum_s = (permute(dmin, 3), permute(dmax, 3), permute(ray_dir, 2),
+                 permute(validity, 3))
+
+    def pad_chunks(x, axis):
+        cfgpad = [(0, 0)] * x.ndim
+        cfgpad[axis] = (0, pad)
+        return jnp.pad(x, cfgpad)
+
+    coords_s = pad_chunks(coords_s, 1).reshape(1, 1, 3, n_chunks, chunk) \
+        .transpose(3, 0, 1, 2, 4)
+    fr_chunks = (
+        pad_chunks(frustum_s[0], 3).reshape(1, 1, 1, n_chunks, chunk)
+        .transpose(3, 0, 1, 2, 4),
+        pad_chunks(frustum_s[1], 3).reshape(1, 1, 1, n_chunks, chunk)
+        .transpose(3, 0, 1, 2, 4),
+        pad_chunks(frustum_s[2], 2).reshape(1, 3, n_chunks, chunk)
+        .transpose(2, 0, 1, 3),
+        pad_chunks(frustum_s[3], 3).reshape(1, 1, 1, n_chunks, chunk)
+        .transpose(3, 0, 1, 2, 4),
+    )
+    has_valid = fr_chunks[3].reshape(n_chunks, -1).any(axis=1)
 
     keys = jax.random.split(rng, n_chunks)
-    p2c = pose_to_camera[:1]
 
     def body(carry, inp):
-        key, coord = inp
-        color, mask, disp, _ = render_rays(key, density_color_fn, coord, p2c,
-                                           inv_intrinsics, cfg, camera_pose)
-        return carry, (color, mask, disp)
+        key, coord, fr0, fr1, fr2, fr3, hv = inp
 
-    _, (color, mask, disp) = lax.scan(body, None, (keys, coords))
+        def do_render(_):
+            color, mask, disp, _ = render_rays(
+                key, density_color_fn, coord, p2c, inv_intrinsics, cfg,
+                camera_pose, frustum=(fr0, fr1, fr2, fr3),
+                pose_prescaled=True)
+            return color, mask, disp
+
+        def skip(_):
+            return (jnp.zeros((1, 3, chunk), jnp.float32),
+                    jnp.zeros((1, chunk), jnp.float32),
+                    jnp.zeros((1, chunk), jnp.float32))
+
+        return carry, lax.cond(hv, do_render, skip, None)
+
+    _, (color, mask, disp) = lax.scan(
+        body, None, (keys, coords_s) + fr_chunks + (has_valid,))
     color = color.transpose(1, 2, 0, 3).reshape(1, 3, -1)[:, :, :npix]
     mask = mask.transpose(1, 0, 2).reshape(1, -1)[:, :npix]
     disp = disp.transpose(1, 0, 2).reshape(1, -1)[:, :npix]
+    # undo the validity ordering
+    color = jnp.take(color, inv_order, axis=2)
+    mask = jnp.take(mask, inv_order, axis=1)
+    disp = jnp.take(disp, inv_order, axis=1)
     return (color.reshape(3, height, width),
             mask.reshape(height, width),
             disp.reshape(height, width))

@@ -111,10 +111,30 @@ def select_candidate_bones(canonical_pos: jnp.ndarray, validity: jnp.ndarray,
     M = min(max_bones, K)
     centrality = 1.0 - jnp.abs(canonical_pos).max(axis=2)  # (B, K, n)
     score = jnp.where(validity, 1.0 + centrality, -1.0)
-    top_s, top_idx = jax.lax.top_k(score.transpose(0, 2, 1), M)  # (B, n, M)
+    if M <= 8:
+        # M repeated argmax sweeps beat lax.top_k's per-point sort on TPU
+        # (same selection: argmax, like top_k, takes the lowest index on ties),
+        # and the candidate positions come out via a one-hot contraction —
+        # no (B,n,K,3) transpose + gather (layout-hostile on TPU).
+        bone_ids = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+        sc = score
+        idx_l, val_l, oh_l = [], [], []
+        for _ in range(M):
+            i = jnp.argmax(sc, axis=1).astype(jnp.int32)     # (B, n)
+            sel = bone_ids == i[:, None, :]                  # (B, K, n)
+            val_l.append(jnp.max(sc, axis=1))
+            idx_l.append(i)
+            oh_l.append(sel)
+            sc = jnp.where(sel, -jnp.inf, sc)
+        top_s = jnp.stack(val_l, axis=-1)                    # (B, n, M)
+        top_idx = jnp.stack(idx_l, axis=-1)
+        oh = jnp.stack(oh_l, axis=1).astype(canonical_pos.dtype)  # (B,M,K,n)
+        cand_pos = jnp.einsum("bmkn,bkin->bnmi", oh, canonical_pos)
+    else:
+        top_s, top_idx = jax.lax.top_k(score.transpose(0, 2, 1), M)  # (B, n, M)
+        pos = canonical_pos.transpose(0, 3, 1, 2)  # (B, n, K, 3)
+        cand_pos = jnp.take_along_axis(pos, top_idx[..., None], axis=2)
     cand_valid = top_s > 0
-    pos = canonical_pos.transpose(0, 3, 1, 2)  # (B, n, K, 3)
-    cand_pos = jnp.take_along_axis(pos, top_idx[..., None], axis=2)
     cand_pos = jnp.where(cand_valid[..., None], cand_pos, 2.0)
     return top_idx.astype(jnp.int32), cand_valid, cand_pos
 

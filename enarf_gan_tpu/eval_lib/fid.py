@@ -5,6 +5,14 @@ Protocol mirrors reference evaluation/compute_fid.py: 299² bilinear resize of
 cached to .npy, Fréchet distance. The Inception weights must be supplied
 offline (see ``data_preprocess/export_inception_weights.py``); the math and
 pipeline are weight-source agnostic.
+
+WEIGHT-SET POLICY: the reference computes FID with cleanfid's TF-Inception
+(reference evaluation/compute_fid.py:76-88); absolute FID values are only
+comparable within one weight set. This harness refuses to run without
+explicit weights (no silent fallback), caches statistics per weight set
+(``stats_suffix``), and the exporter supports both ``--source cleanfid``
+(reference-comparable) and ``--source torchvision`` (self-consistent
+training-progress FID). Deviation is deliberate and surfaced, not hidden.
 """
 from __future__ import annotations
 

@@ -66,7 +66,8 @@ def main():
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--truncation", type=float, default=0.4)
     parser.add_argument("--thr", type=float, default=0.5)
-    parser.add_argument("--estimator", choices=["mmpose", "projected"],
+    parser.add_argument("--estimator",
+                        choices=["mmpose", "projected", "stub"],
                         default="projected")
     args = parser.parse_args()
 
@@ -98,6 +99,9 @@ def main():
     if args.estimator == "mmpose":
         from evaluation.pck_estimators import MMPoseEstimator
         estimator = MMPoseEstimator()
+    elif args.estimator == "stub":
+        from evaluation.pck_estimators import StubEstimator
+        estimator = StubEstimator(num_keypoints=pose_ds[0]["pose_2d"].shape[0])
     else:
         estimator = None  # use projected joints as GT, estimator-free score
 

@@ -81,8 +81,12 @@ def main():
             if count >= args.num_sample:
                 break
 
+    # key the stats cache by weight set — torchvision vs cleanfid features
+    # are NOT interchangeable (eval_lib/fid.py weight-set policy)
+    wnpz = os.environ.get("INCEPTION_WEIGHTS_NPZ", "")
+    wtag = os.path.splitext(os.path.basename(wnpz))[0] if wnpz else "torchvision"
     stats_cache = os.path.join(config.dataset.train.data_root,
-                               f"fid_stats_{size}.npz")
+                               f"fid_stats_{size}_{wtag}.npz")
     mu_real, sigma_real = load_or_compute_dataset_stats(stats_cache,
                                                         real_feature_iter)
 

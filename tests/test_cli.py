@@ -266,3 +266,73 @@ def test_compute_depth_chain(tmp_path):
     mse_path = f"{out_dir}/disparity_mse.txt"
     assert os.path.exists(mse_path)
     assert np.isfinite(float(open(mse_path).read()))
+
+def test_compute_pck_chain(synth, tmp_path):
+    """PCK chain end-to-end with the stub estimator: pose dataset → generate
+    → estimate keypoints → keypoint_pck_accuracy → pck_stub.txt (reference
+    evaluation/compute_PCK.py; estimator adapter documented in
+    evaluation/pck_estimators.py)."""
+    default = tmp_path / "gan_default.yml"
+    default.write_text(textwrap.dedent(f"""
+        out_root: {tmp_path}/out
+        out: pck_eval
+        dataset:
+          bs: 2
+          image_size: 32
+          train:
+            data_root: {synth}
+        generator_params:
+          z_dim: 16
+          patch_size: 24
+          background_ratio: 0.3
+          use_triplane: True
+          crop_background: True
+          pretrained_background: False
+          channel_max: 32
+          nerf_params:
+            w_dim: 32
+            tri_plane_size: 16
+            final_activation: tanh
+            hidden_size: 16
+            out_dim: 16
+            Nc: 4
+            Nf: 4
+            no_ray_direction: False
+            mask_input: False
+            origin_location: center_fixed
+            coordinate_scale: 3
+        discriminator_params:
+          minibatch_std: True
+          channel_max: 32
+        loss:
+          adv_loss_type: ce
+          bone_guided_coef: 10
+          r1_loss_coef: 0.01
+          tri_plane_reg_coef: 0.001
+        n_accum_step: 1
+        num_iter: 10
+        resume:
+    """))
+
+    # author a snapshot for the eval to load (untrained weights suffice)
+    import jax
+    from enarf_gan_tpu.config import yaml_config
+    from enarf_gan_tpu.data.datasets import HumanPoseDataset
+    from enarf_gan_tpu.training import gan, checkpoint as ckpt
+    config = yaml_config(str(default), str(default))
+    ds = HumanPoseDataset(size=32, data_root=synth, num_repeat_in_epoch=1)
+    gen, dis = gan.build_models(config, ds.num_bone, ds.parents)
+    first = ds[0]
+    sample_batch = {k: np.asarray(v)[None] for k, v in first.items()}
+    state, _, _ = gan.init_gan_state(config, gen, dis, ds.canonical_pose,
+                                     jax.random.PRNGKey(0), sample_batch)
+    out_dir = f"{tmp_path}/out/result/pck_eval"
+    ckpt.save_checkpoint(out_dir, {"iteration": 0, **state}, 0)
+
+    run_cli("evaluation/compute_PCK.py",
+            ["--config", str(default), "--default_config", str(default),
+             "--num_sample", "2", "--batch_size", "1", "--estimator", "stub"])
+    pck_path = f"{out_dir}/pck_stub.txt"
+    assert os.path.exists(pck_path)
+    v = float(open(pck_path).read())
+    assert 0.0 <= v <= 1.0

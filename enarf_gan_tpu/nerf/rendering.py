@@ -165,7 +165,10 @@ def fine_sample_depths(rng: jax.Array, weights: jnp.ndarray, Nf: int,
     cdf = cdf / cdf[:, -1:]
     k_bin, k_jit = jax.random.split(rng)
     u = jax.random.uniform(k_bin, (R, Nf), weights.dtype)
-    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu))(cdf, u)  # (R, Nf)
+    # inverse-CDF bin index == searchsorted(cdf, u), computed as a dense
+    # compare-sum: Nc is tiny, and the vectorized compare runs ~17x faster
+    # on TPU than a vmapped binary search (identical indices; PERF.md)
+    idx = (cdf[:, None, :] < u[:, :, None]).sum(axis=2)   # (R, Nf)
     jitter = jax.random.uniform(k_jit, (R, Nf), weights.dtype)
     bins = (idx.astype(weights.dtype) + jitter) / Nc
     return jnp.sort(bins, axis=1)

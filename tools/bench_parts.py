@@ -46,7 +46,8 @@ def main():
                         render_bs=ray_chunk, coordinate_scale=3.0,
                         view_dependent=False, origin_location="center_fixed",
                         deformation_field=True, time_conditional=True,
-                        pose_conditional=False)
+                        pose_conditional=False,
+                        plane_sample_dtype="bfloat16")
     gen = DSONARFGenerator(nerf_params=params, size=render_size, num_bone=24,
                            parent_id=tuple(int(x) for x in SMPL_PARENTS),
                            use_triplane=True, ray_batchsize=4096)

@@ -38,36 +38,60 @@ def smpl_forward_batch(model, poses):
         jnp.asarray(model["J_regressor"]), model["parents"]))
 
 
+def _project_joints(pose, rot, trans, intrinsic):
+    """Per-joint world→image projection → (n_joints, 2) pixel coords."""
+    cam_pts = np.matmul(rot[None], pose[:, :3, 3:]) + trans[None]
+    px = np.matmul(intrinsic[None], cam_pts)
+    return px[:, :2, 0] / px[:, 2:, 0]
+
+
+def _all_joints_visible(joints_2d, height, width):
+    return bool(joints_2d.min() >= 0 and joints_2d[:, 0].max() < width
+                and joints_2d[:, 1].max() < height)
+
+
+def _square_crop_reflect(img, center, side):
+    """Crop a ``side``-pixel square centered at ``center`` (reflect-padded
+    where it leaves the image); returns (crop, top_left)."""
+    h, w, _ = img.shape
+    x1 = math.floor(center[0]) - side // 2
+    y1 = math.floor(center[1]) - side // 2
+    grow = ((max(0, -y1), max(0, y1 + side - h)),
+            (max(0, -x1), max(0, x1 + side - w)), (0, 0))
+    padded = np.pad(img, grow, mode="reflect")
+    crop = padded[max(0, y1):max(0, y1) + side,
+                  max(0, x1):max(0, x1) + side]
+    return crop, (x1, y1)
+
+
+def _rebase_intrinsics(intrinsic, top_left, side):
+    """Intrinsics for the crop resized to SAVE_SIZE."""
+    out = intrinsic.copy()
+    out[:2, 2] -= np.asarray(top_left)
+    out[:2] /= (side / SAVE_SIZE)
+    return out
+
+
 def aligned_crop(img, intrinsic, rot, trans, pose):
+    """Focal-normalized square crop centered on the spine joint.
+
+    Behavioral spec — the crop geometry is the dataset wire format and must
+    match the reference byte-for-byte (reference AIST/preprocess.py:30-64):
+    crop side = CROP_SIZE·focal/1500 (even), reflect padding, bicubic resize
+    to SAVE_SIZE, BGR→RGB, intrinsics shifted+scaled to the crop.
+    """
     import cv2
     focal = (intrinsic[0, 0] + intrinsic[1, 1]) / 2
-    cs = int(CROP_SIZE * focal / STANDARD_FOCAL) // 2 * 2
-    jt = pose[:, :3, 3:]
-    pose_3d = np.matmul(rot[None], jt) + trans[None]
-    pose_2d = np.matmul(intrinsic[None], pose_3d)
-    pose_2d = pose_2d[:, :2, 0] / pose_2d[:, 2:, 0]
-
-    h, w, _ = img.shape
-    validity = (pose_2d.min() >= 0 and pose_2d[:, 0].max() < w
-                and pose_2d[:, 1].max() < h)
+    side = int(CROP_SIZE * focal / STANDARD_FOCAL) // 2 * 2
+    joints_2d = _project_joints(pose, rot, trans, intrinsic)
+    validity = _all_joints_visible(joints_2d, *img.shape[:2])
     if validity:
-        spine = pose_2d[0]
-        x1 = math.floor(spine[0]) - cs // 2
-        y1 = math.floor(spine[1]) - cs // 2
-        x2, y2 = x1 + cs, y1 + cs
-        img = np.pad(img, ((max(0, -y1), max(0, y2 - h)),
-                           (max(0, -x1), max(0, x2 - w)), (0, 0)),
-                     mode="reflect")
-        img = img[max(0, y1):max(0, y1) + cs, max(0, x1):max(0, x1) + cs]
-        img = cv2.resize(img, (SAVE_SIZE, SAVE_SIZE),
+        crop, top_left = _square_crop_reflect(img, joints_2d[0], side)
+        out = cv2.resize(crop, (SAVE_SIZE, SAVE_SIZE),
                          interpolation=cv2.INTER_CUBIC)[:, :, ::-1]
     else:
-        img = np.zeros((SAVE_SIZE, SAVE_SIZE, 3), np.uint8)
-        x1, y1 = 0, 0
-    intri = intrinsic.copy()
-    intri[:2, 2] -= np.array([x1, y1])
-    intri[:2] /= (cs / SAVE_SIZE)
-    return img, intri, validity
+        out, top_left = np.zeros((SAVE_SIZE, SAVE_SIZE, 3), np.uint8), (0, 0)
+    return out, _rebase_intrinsics(intrinsic, top_left, side), validity
 
 
 def read_frames(video_dir, aist_dataset, smpl_model, person_id):

@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NB = 512  # points per kernel block
+NB = 128  # points per kernel block — small enough that the kernel's
+          # peak live set (Mosaic allocates it as a static stack frame)
+          # stays under the 16 MB scoped-vmem limit
 
 
 def use_fused_combine() -> bool:

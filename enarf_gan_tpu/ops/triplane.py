@@ -12,8 +12,8 @@ cuda_extension/TriplaneSampler_kernel.cu). Design differences, deliberate:
   zeros-padding makes them contribute nothing — the same masked semantics the
   reference's sparse path computes.
 * The CUDA fused gather-sum kernel (TriplaneSampler.cpp:20) is replaced by
-  the Pallas kernel in ``ops/triplane_pallas.py``; this module is the
-  correctness reference and CPU fallback.
+  the quad-packed row-gather sampler (``ops/quadtable.py``, the default hot
+  path); this module is the correctness reference and dense fallback.
 
 Plane coordinate convention (matches sampling.py:30 / kernel.cu:37-38):
 plane 0 is indexed by (x, y), plane 1 by (y, z), plane 2 by (z, x), where the
@@ -268,16 +268,7 @@ def sample_weighted_feature(feat_dim: int, tri_plane_features: jnp.ndarray,
         return sample_weighted_feature_topm(feat_dim, tri_plane_features,
                                             position, weight, position_validity,
                                             max_bones, clamp_mask)
-    if use_pallas is None:
-        use_pallas = _pallas_available()
-    if use_pallas:
-        try:
-            from enarf_gan_tpu.ops.triplane_pallas import fused_weighted_sample
-        except ImportError:
-            fused_weighted_sample = None
-        if fused_weighted_sample is not None:
-            return fused_weighted_sample(tri_plane_features, position, weight,
-                                         position_validity, clamp_mask=clamp_mask)
+    del use_pallas  # superseded by the quad sampler (ops/quadtable.py)
     bs, n_bone, _, n = position.shape
     # fold bones into the batch axis of the (shared) planes
     planes = jnp.broadcast_to(tri_plane_features[:, None],
@@ -289,12 +280,6 @@ def sample_weighted_feature(feat_dim: int, tri_plane_features: jnp.ndarray,
     w = (weight * position_validity).astype(feat.dtype)
     return jnp.einsum("bkfn,bkn->bfn", feat, w)
 
-
-def _pallas_available() -> bool:
-    """Experimental fused kernel opt-in (see ops/triplane_pallas.py STATUS)."""
-    import os
-    if os.environ.get("ENARF_PALLAS", "0") != "1":
-        return False
     import jax
     try:
         return jax.devices()[0].platform == "tpu"

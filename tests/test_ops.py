@@ -216,44 +216,3 @@ def test_candidate_path_matches_dense(rng):
     f_cand = np.array(sample_weighted_feature_candidates(
         Fdim, jnp.array(feat_planes), cand_pos, cand_w, cand_valid))
     np.testing.assert_allclose(f_cand, f_dense, rtol=1e-3, atol=1e-4)
-
-
-def test_pallas_fused_matches_xla_interpret(rng):
-    """Fused Pallas kernel (interpret mode on CPU) == XLA candidate path,
-    including gradients through the custom VJP."""
-    from enarf_gan_tpu.ops.triplane import (
-        select_candidate_bones, sample_weighted_feature_candidates)
-    from enarf_gan_tpu.ops.triplane_pallas import (
-        fused_weighted_sample_candidates)
-    bs, n_bone, Fdim, H, n, M = 2, 5, 8, 16, 50, 3
-    feat_planes = rng.randn(bs, Fdim * 3, H, H).astype(np.float32)
-    pos = rng.uniform(-0.9, 0.9, (bs, n_bone, 3, n)).astype(np.float32)
-    validity = rng.rand(bs, n_bone, n) > 0.5
-    cand_idx, cand_valid, cand_pos = select_candidate_bones(
-        jnp.array(pos), jnp.array(validity), M)
-    cand_w = jnp.array(rng.rand(bs, n, M).astype(np.float32))
-
-    # the kernel holds the plane table in bf16 — compare against the XLA
-    # path on bf16-quantized planes for a tight tolerance
-    planes_q = jnp.array(feat_planes).astype(jnp.bfloat16).astype(jnp.float32)
-    ref = sample_weighted_feature_candidates(
-        Fdim, planes_q, cand_pos, cand_w, cand_valid)
-    fused = fused_weighted_sample_candidates(
-        Fdim, jnp.array(feat_planes), cand_pos, cand_w, cand_valid)
-    np.testing.assert_allclose(np.array(fused), np.array(ref),
-                               rtol=5e-2, atol=1e-2)
-
-    # gradients agree (bwd routes through the XLA formulation)
-    def loss_fused(planes, w):
-        return fused_weighted_sample_candidates(Fdim, planes, cand_pos, w,
-                                                cand_valid).sum()
-
-    def loss_ref(planes, w):
-        return sample_weighted_feature_candidates(Fdim, planes, cand_pos, w,
-                                                  cand_valid).sum()
-
-    g1 = jax.grad(loss_fused, argnums=(0, 1))(jnp.array(feat_planes), cand_w)
-    g2 = jax.grad(loss_ref, argnums=(0, 1))(jnp.array(feat_planes), cand_w)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-4,
-                                   atol=1e-5)

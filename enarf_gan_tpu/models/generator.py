@@ -154,6 +154,10 @@ class TriNARFGenerator(nn.Module):
     black_background: bool = False
     background_ratio: float = 0.7
     channel_max: int = 512
+    # scan the full-image ray grid in chunks of this size inside the forward
+    # (identical results; bounds the differentiable peak memory — see
+    # nerf/rendering.py::render_rays ray_chunk)
+    train_ray_chunk: int = 4096
 
     @property
     def model_num_bone(self) -> int:
@@ -239,9 +243,18 @@ class TriNARFGenerator(nn.Module):
             return self.nerf_density_color(points, pose_scaled, bl_t,
                                            planes_packed, z_rend, ray_dir)
 
+        if train:
+            # rematerialize the per-point network in the backward pass: the
+            # gathered quad rows alone are ~5 GB/image at 128² — storing them
+            # as residuals OOMs a 16 GB chip; recomputing costs ~1/3 of a
+            # forward (SURVEY §7.3: trade FLOPs for HBM via jax.checkpoint)
+            fn = jax.checkpoint(fn)
+
+        # no scan while flax is creating params (init traces once, full-width)
+        chunk = None if self.is_initializing() else (self.train_ray_chunk or None)
         fg_color, fg_mask, disparity, raux = render_rays(
             rng_fine, fn, img_coord, pose_t, inv_intrinsics, self.render_cfg(),
-            camera_pose=None)
+            camera_pose=None, ray_chunk=chunk)
         fg_color = fg_color.reshape(B, 3, self.size, self.size)
         fg_mask = fg_mask.reshape(B, self.size, self.size)
 

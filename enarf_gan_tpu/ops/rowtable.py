@@ -4,12 +4,13 @@ Replaces the channel-broadcast gathers of ``ops/grid_sample.py`` on the hot
 path (reference equivalents: libraries/triplane/sampling.py:54-127 and
 cuda_extension/TriplaneSampler_kernel.cu:37-92).
 
-Why this layout: on TPU, ``jnp.take(table, rows, axis=0)`` with the channel
-axis MINOR runs at ~275 M rows/s (measured, PERF.md), while a
+SUPERSEDED by ``ops/quadtable.py`` (one fetch per sample-plane); kept as a
+second independently-tested formulation (ENARF_SAMPLER=rowtable). Layout
+rationale: on TPU, ``jnp.take(table, rows, axis=0)`` with the channel axis
+MINOR is row-issue-bound (~300-400 M rows/s — PERF.md), while a
 ``take_along_axis`` whose index is broadcast over a 32-wide channel axis
-degrades to per-element gathers (~140 M elems/s → 32x slower per sample).
-So we lay the planes out channels-last as one flat row table and make each
-bilinear sample exactly TWO row fetches:
+degrades to per-element gathers. So we lay the planes out channels-last as
+one flat row table and make each bilinear sample exactly TWO row fetches:
 
 * row r = (plane p, line y, pair-slot s) holds the lane vector
   ``[feat[x=s-1] | feat[x=s] | mask[x=s-1] | mask[x=s]]`` — an x-pair, so

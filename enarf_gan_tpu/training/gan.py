@@ -50,7 +50,8 @@ def build_models(config, num_bone: int, parent_id
         parent_id=tuple(int(x) for x in parent_id), z_dim=int(gp.z_dim),
         crop_background=bool(gp.crop_background),
         background_ratio=float(gp.background_ratio),
-        channel_max=int(gp.get("channel_max", 512)))
+        channel_max=int(gp.get("channel_max", 512)),
+        train_ray_chunk=int(gp.get("train_ray_chunk", 4096)))
     dis = Discriminator(size=config.dataset.image_size,
                         minibatch_std=bool(config.discriminator_params.minibatch_std),
                         channel_max=int(config.discriminator_params.get(

@@ -98,12 +98,8 @@ class DSONARFGenerator(nn.Module):
 
     def nerf_density_color(self, points, pose_scaled, bone_length_t, z_or_planes,
                            z_rend, ray_direction):
-        if self.use_triplane:
-            d, c, _ = self.nerf.density_color(points, pose_scaled, bone_length_t,
-                                              z_or_planes, z_rend, ray_direction)
-        else:
-            d, c, _ = self.nerf.density_color(points, pose_scaled, bone_length_t,
-                                              z_or_planes, z_rend, ray_direction)
+        d, c, _ = self.nerf.density_color(points, pose_scaled, bone_length_t,
+                                          z_or_planes, z_rend, ray_direction)
         return d, c
 
     def pack_planes(self, z_or_planes):

@@ -279,9 +279,3 @@ def sample_weighted_feature(feat_dim: int, tri_plane_features: jnp.ndarray,
     feat = feat.reshape(bs, n_bone, feat_dim, n)
     w = (weight * position_validity).astype(feat.dtype)
     return jnp.einsum("bkfn,bkn->bfn", feat, w)
-
-    import jax
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False

@@ -139,7 +139,10 @@ def _stylegan_leaf(rest, table, up):
     elif leaf == "noise_weight":
         t = "noise_scalar"
     elif leaf == "bias" and table is _ROS_LEAF and rest == ["bias"]:
-        t = "id"
+        # reference StyledConv / ToRGB store bias as (1, C, 1, 1)
+        # (custom_stylegan2/net.py:307,332); legacy snapshots keep a flat
+        # (C,) ".activate.bias" instead (compute_fid.py:195-199)
+        t = "bias2d"
     return ref, t
 
 
@@ -197,8 +200,14 @@ def _map_one(path, gen_params):
             if sub[0] == "flow_generator":
                 ref_gen = "nerf.flow_generator"
             else:
+                # constant_trimask (has a tri_plane param) and selector_mlp
+                # (has a selector submodule) both name the StyleGAN
+                # "nerf.generator" in the reference (models/narf.py:33,60);
+                # only the default GAN variant uses "nerf.tri_plane_gen"
+                # (models/narf.py:71)
                 nerf_p = gen_params.get("nerf", {})
-                ref_gen = ("nerf.generator" if "tri_plane" in nerf_p
+                ref_gen = ("nerf.generator"
+                           if ("tri_plane" in nerf_p or "selector" in nerf_p)
                            else "nerf.tri_plane_gen")
             rest = sub[1:]
             if rest[0] == "mapping":
@@ -237,6 +246,7 @@ _IMPORT_T = {
     "squeeze0": lambda a: a[0],
     "squeeze0_flip": lambda a: a[0][..., ::-1, ::-1],
     "noise_scalar": lambda a: np.asarray(a).reshape(()),
+    "bias2d": lambda a: a.reshape(-1),               # (1,C,1,1)→(C,)
 }
 _EXPORT_T = {
     "id": lambda a: a,
@@ -246,6 +256,7 @@ _EXPORT_T = {
     "squeeze0": lambda a: np.asarray(a)[None],
     "squeeze0_flip": lambda a: np.asarray(a)[..., ::-1, ::-1][None],
     "noise_scalar": lambda a: np.asarray(a).reshape(1),
+    "bias2d": lambda a: np.asarray(a).reshape(1, -1, 1, 1),
 }
 
 
@@ -305,7 +316,7 @@ def import_reference_state_dict(state_dict: Dict[str, np.ndarray],
         src_name, src_t = name, t
         if name not in state_dict and name in legacy:
             src_name = legacy[name]
-            src_t = "id" if src_t == "bias1d" else src_t
+            src_t = "id" if src_t in ("bias1d", "bias2d") else src_t
         if src_name not in state_dict:
             missing.append(path)
             continue

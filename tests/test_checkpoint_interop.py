@@ -159,6 +159,46 @@ def test_gan_generator_roundtrip():
         assert expected in sd, (expected, sorted(sd)[:60])
     # rosinality conv weights carry the leading 1
     assert sd["background_generator.conv1.conv.weight"].ndim == 5
+    # reference StyledConv / ToRGB biases are (1, C, 1, 1)
+    # (custom_stylegan2/net.py:307,332)
+    assert sd["background_generator.conv1.bias"].ndim == 4
+    assert sd["background_generator.conv1.bias"].shape[0] == 1
+    assert sd["background_generator.conv1.bias"].shape[2:] == (1, 1)
+    assert sd["background_generator.to_rgbs.0.bias"].ndim == 4
+
+    zero_tpl = jax.tree_util.tree_map(lambda x: np.zeros_like(x),
+                                      jax_tree_to_dict(variables))
+    new_vars, report = import_reference_state_dict(sd, zero_tpl, strict=True)
+    assert not [m for m in report["missing"] if m.startswith("params/")], \
+        report["missing"][:10]
+    assert not report["unused"], report["unused"][:10]
+    for coll in ("params", "buffers"):
+        a = jax.tree_util.tree_leaves(variables[coll])
+        b = jax.tree_util.tree_leaves(new_vars[coll])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_selector_mlp_generator_maps_to_reference_name():
+    """selector_mlp names its StyleGAN 'nerf.generator' in the reference
+    (models/narf.py:59-60) and carries a 'nerf.selector' MLP."""
+    params = NARFParams(Nc=2, Nf=2, hidden_size=16, tri_plane_size=16,
+                        w_dim=32, view_dependent=False,
+                        origin_location="center_fixed", selector_mlp=True,
+                        time_conditional=True)
+    gen = DSONARFGenerator(nerf_params=params, size=16, num_bone=24,
+                           parent_id=tuple(int(x) for x in SMPL_PARENTS),
+                           use_triplane=True, ray_batchsize=16)
+    rng = jax.random.PRNGKey(0)
+    pose = jnp.tile(jnp.eye(4)[None, None], (1, 24, 1, 1))
+    variables = gen.init(rng, rng, pose, pose[:, 0, :3, :3],
+                         jnp.ones((1, 16, 16)), jnp.array([0.5]),
+                         jnp.ones((1, 23, 1)), jnp.eye(3))
+    sd = export_reference_state_dict(variables)
+    assert "nerf.generator.mapping.fc0.weight" in sd, sorted(sd)[:40]
+    assert "nerf.generator.synthesis.b4.conv1.weight" in sd
+    assert any(k.startswith("nerf.selector.") for k in sd), sorted(sd)[:40]
+    assert not any(k.startswith("nerf.tri_plane_gen.") for k in sd)
 
     zero_tpl = jax.tree_util.tree_map(lambda x: np.zeros_like(x),
                                       jax_tree_to_dict(variables))

@@ -1,14 +1,18 @@
-"""Convert a rosinality stylegan2-church checkpoint (.pt) to our param npz.
+"""Convert a rosinality stylegan2-church checkpoint (.pt) to a numpy npz.
 
 Run once where torch + the checkpoint are available:
 
     python data_preprocess/convert_stylegan2_church.py \
         --ckpt stylegan2-church-config-f.pt --out church_background.npz
 
-Notes on mapping (see nn/stylegan2.py docstring):
-  * upsample conv kernels are stored in conv orientation here — the rosinality
-    transposed-conv kernels are flipped spatially and IO-swapped;
-  * the constant input is sliced to half height (reference net.py:695).
+The npz keeps the raw rosinality ``g_ema`` names and tensor orientations
+(reference custom_stylegan2/net.py:679-709 loads the same checkpoint);
+all orientation transforms (transposed-conv flips, leading-1 squeezes,
+(1,C,1,1) bias flattening) happen at load time through the explicit key
+bijection in ``training/checkpoint.py::load_pretrained_background``.
+Unlike the reference (net.py:695), the constant input is NOT sliced to
+half height — our PretrainedStyleGAN renders the full 256² canvas and
+crops instead (nn/stylegan2.py::PretrainedStyleGAN).
 """
 import argparse
 
@@ -24,17 +28,10 @@ def main():
     import torch
     snap = torch.load(args.ckpt, map_location="cpu")
     g = snap["g_ema"]
-    out = {}
-    for k, v in g.items():
-        arr = v.numpy()
-        if k == "input.input":
-            arr = arr[:, :, 1:-1]  # half-height const (reference net.py:695)
-        if ".conv.weight" in k and arr.ndim == 5:
-            arr = arr[0]
-        out[k.replace(".", "/")] = arr
+    out = {k: v.numpy() for k, v in g.items()}
     np.savez(args.out, **out)
-    print(f"wrote {args.out} ({len(out)} arrays) — map into the "
-          "PretrainedStyleGAN param tree with training/checkpoint.py helpers")
+    print(f"wrote {args.out} ({len(out)} arrays) — load with "
+          "training/checkpoint.py::load_pretrained_background")
 
 
 if __name__ == "__main__":

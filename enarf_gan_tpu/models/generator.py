@@ -24,7 +24,7 @@ from enarf_gan_tpu.models.narf import NARFParams, TriPlaneNARF, MLPNARF
 from enarf_gan_tpu.nerf.ray_sampler import (image_grid_coords, mask_based_sampler)
 from enarf_gan_tpu.nerf.rendering import (RenderConfig, render_rays,
                                           render_entire_img)
-from enarf_gan_tpu.nn.stylegan2 import StyleGAN2Generator
+from enarf_gan_tpu.nn.stylegan2 import PretrainedStyleGAN, StyleGAN2Generator
 
 
 def _model_num_bone(num_bone: int, origin_location: str) -> int:
@@ -148,8 +148,12 @@ class TriNARFGenerator(nn.Module):
     z_dim: int = 256
     crop_background: bool = False
     black_background: bool = False
+    pretrained_background: bool = False
     background_ratio: float = 0.7
     channel_max: int = 512
+    # PretrainedStyleGAN checkpoint resolution (tests shrink it; the real
+    # stylegan2-church checkpoint is 256²)
+    pretrained_bg_size: int = 256
     # scan the full-image ray grid in chunks of this size inside the forward
     # (identical results; bounds the differentiable peak memory — see
     # nerf/rendering.py::render_rays ray_chunk)
@@ -165,10 +169,18 @@ class TriNARFGenerator(nn.Module):
                                  num_bone=self.model_num_bone,
                                  parent_id=self.parent_id)
         if not self.black_background:
-            self.background_generator = StyleGAN2Generator(
-                size=self.size, style_dim=self.z_dim, n_mlp=4, out_channels=3,
-                crop_background=self.crop_background,
-                channel_max=self.channel_max)
+            if self.pretrained_background:
+                # frozen stylegan2-church background (reference
+                # models/generator.py:33-38, custom_stylegan2/net.py:679-709);
+                # its 512-d latent is cat(z_bg, z_rend) inside the module
+                self.background_generator = PretrainedStyleGAN(
+                    size=self.size, gen_size=self.pretrained_bg_size,
+                    style_dim=self.z_dim * 2, channel_max=self.channel_max)
+            else:
+                self.background_generator = StyleGAN2Generator(
+                    size=self.size, style_dim=self.z_dim, n_mlp=4,
+                    out_channels=3, crop_background=self.crop_background,
+                    channel_max=self.channel_max)
 
     def split_z(self, z: jnp.ndarray):
         """z (B, 4*z_dim) → (2z nerf, z render, z background)

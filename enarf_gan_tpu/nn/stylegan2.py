@@ -357,20 +357,24 @@ class Discriminator(nn.Module):
 class PretrainedStyleGAN(nn.Module):
     """Frozen StyleGAN2-church background (reference net.py:679-709).
 
-    A 256² generator whose constant input is sliced to half height
-    (4x4 → 2x4, giving 128x256 output), randomly cropped to 128² at train
-    time and center-cropped at eval. Weights come from a rosinality
-    stylegan2-church checkpoint converted with
-    ``data_preprocess/convert_stylegan2_church.py``.
+    The reference slices the 4x4 constant input to half height (net.py:695)
+    and renders a 128x256 canvas; we keep the full 256² canvas and crop —
+    randomly to ``size``² at train time, center at eval. Weights come from a
+    rosinality stylegan2-church checkpoint converted with
+    ``data_preprocess/convert_stylegan2_church.py`` and loaded via
+    ``training/checkpoint.py::load_pretrained_background``.
     """
     size: int = 128
     style_dim: int = 512
     n_mlp: int = 8
+    gen_size: int = 256          # church checkpoint resolution
+    channel_max: int = 512
 
     def setup(self):
-        self.gen = StyleGAN2Generator(size=256, style_dim=self.style_dim,
+        self.gen = StyleGAN2Generator(size=self.gen_size, style_dim=self.style_dim,
                                       n_mlp=self.n_mlp, out_channels=3,
-                                      use_noise=True)
+                                      use_noise=True,
+                                      channel_max=self.channel_max)
         # const_hw (2, 4) is realized by slicing the loaded 4x4 const in the
         # converter, matching reference net.py:695.
 

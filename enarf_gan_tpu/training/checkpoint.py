@@ -224,17 +224,23 @@ def _map_one(path, gen_params):
             return "nerf.selector." + ".".join(sub[1:]), "id"
     if parts and parts[0] == "background_generator":
         rest = parts[1:]
+        prefix = "background_generator"
+        if rest and rest[0] == "gen":
+            # PretrainedStyleGAN nests its rosinality generator under .gen
+            # (reference custom_stylegan2/net.py:698)
+            prefix = "background_generator.gen"
+            rest = rest[1:]
         if rest[0] == "mapping" and rest[1].startswith("fc"):
             i = int(rest[1][2:])
-            return f"background_generator.style.{i + 1}.{rest[2]}", "id"
+            return f"{prefix}.style.{i + 1}.{rest[2]}", "id"
         if rest[0] == "synthesis":
             blk, up = _ros_block(rest[1:])
             if blk == "input.input":
-                return "background_generator.input.input", "id"
+                return f"{prefix}.input.input", "id"
             if blk:
                 leaf, t = _stylegan_leaf(rest[2:], _ROS_LEAF, up)
                 if leaf:
-                    return f"background_generator.{blk}{leaf}", t
+                    return f"{prefix}.{blk}{leaf}", t
     return None, None
 
 
@@ -340,6 +346,27 @@ def import_reference_state_dict(state_dict: Dict[str, np.ndarray],
               "unused": sorted(set(state_dict) - consumed)}
     if strict and any(p.startswith("params/") for p in missing):
         raise ValueError(f"unmapped parameters: {report['missing']}")
+    return new_vars, report
+
+
+def load_pretrained_background(gen_variables: Dict[str, Any],
+                               arrays: Dict[str, np.ndarray]):
+    """Load converted stylegan2-church weights into the background generator.
+
+    ``arrays``: mapping of raw rosinality ``g_ema`` names → numpy arrays
+    (the npz written by data_preprocess/convert_stylegan2_church.py; an
+    ``np.load`` result works directly). Only the
+    ``params/background_generator`` subtree is touched; every parameter
+    under it must map or this raises. Returns (new_variables, report).
+    """
+    sd = {f"background_generator.gen.{k}": np.asarray(v)
+          for k, v in arrays.items()}
+    new_vars, report = import_reference_state_dict(sd, gen_variables,
+                                                   strict=False)
+    bg_missing = [m for m in report["missing"]
+                  if m.startswith("params/background_generator/")]
+    if bg_missing:
+        raise ValueError(f"unmapped background parameters: {bg_missing[:10]}")
     return new_vars, report
 
 

@@ -49,6 +49,8 @@ def build_models(config, num_bone: int, parent_id
         nerf_params=params, size=config.dataset.image_size, num_bone=num_bone,
         parent_id=tuple(int(x) for x in parent_id), z_dim=int(gp.z_dim),
         crop_background=bool(gp.crop_background),
+        pretrained_background=bool(gp.get("pretrained_background", False)),
+        pretrained_bg_size=int(gp.get("pretrained_bg_size", 256)),
         background_ratio=float(gp.background_ratio),
         channel_max=int(gp.get("channel_max", 512)),
         train_ray_chunk=int(gp.get("train_ray_chunk", 4096)))

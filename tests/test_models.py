@@ -127,6 +127,51 @@ def test_gan_generator_forward_and_grad():
     assert nerf_nonzero and bg_nonzero
 
 
+def test_gan_generator_pretrained_background():
+    """pretrained_background selects the frozen-church background
+    (reference models/generator.py:33-38) and converted rosinality weights
+    load into it losslessly."""
+    from enarf_gan_tpu.training.checkpoint import (
+        export_reference_state_dict, import_reference_state_dict,
+        jax_tree_to_dict, load_pretrained_background)
+    pose_cam, world, bl, inv_K, canonical, cam_rot = scene(B=2, size=16)
+    p = NARFParams(view_dependent=False, **TINY)
+    gen = TriNARFGenerator(nerf_params=p, size=16, num_bone=24,
+                           parent_id=PARENTS, z_dim=8,
+                           pretrained_background=True, pretrained_bg_size=32,
+                           channel_max=16)
+    z = jax.random.normal(KEY, (2, 8 * 4))
+    args = (KEY, jnp.array(pose_cam), jnp.array(world), jnp.array(bl),
+            z, jnp.array(inv_K))
+    variables = gen.init(KEY, *args)
+    variables = register_canonical_pose(variables, canonical, "center_fixed",
+                                        SMPL_PARENTS)
+    assert "gen" in variables["params"]["background_generator"]
+    img, fg_mask, aux = gen.apply(variables, *args)
+    assert img.shape == (2, 3, 16, 16)
+    assert np.isfinite(np.array(img)).all()
+
+    # interop: exports under background_generator.gen.<rosinality name>,
+    # and a raw g_ema-style dict loads back losslessly
+    sd = export_reference_state_dict(variables)
+    assert "background_generator.gen.style.1.weight" in sd, sorted(sd)[:40]
+    assert "background_generator.gen.input.input" in sd
+    assert "background_generator.gen.convs.0.conv.weight" in sd
+    g_ema = {k[len("background_generator.gen."):]: v for k, v in sd.items()
+             if k.startswith("background_generator.gen.")}
+    zero_tpl = jax.tree_util.tree_map(lambda x: np.zeros_like(x),
+                                      jax_tree_to_dict(variables))
+    # restore the non-background leaves first so only bg is under test
+    zero_tpl, _ = import_reference_state_dict(
+        {k: v for k, v in sd.items()
+         if not k.startswith("background_generator.")}, zero_tpl)
+    new_vars, report = load_pretrained_background(zero_tpl, g_ema)
+    a = jax.tree_util.tree_leaves(variables["params"]["background_generator"])
+    b = jax.tree_util.tree_leaves(new_vars["params"]["background_generator"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_dso_render_entire_img():
     pose_cam, world, bl, inv_K, canonical, cam_rot = scene(B=1, size=16)
     p = NARFParams(view_dependent=False, time_conditional=True,

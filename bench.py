@@ -42,7 +42,10 @@ def main():
                         deformation_field=True, time_conditional=True,
                         pose_conditional=False,
                         plane_sample_dtype=os.environ.get(
-                            "BENCH_PLANE_DTYPE", "bfloat16"))
+                            "BENCH_PLANE_DTYPE", "bfloat16"),
+                        # patch-window fast path (ops/tilewin.py); set
+                        # BENCH_TILED=0 to bench the exact per-member path
+                        tile_patch=int(os.environ.get("BENCH_TILED", 4)))
     gen = DSONARFGenerator(nerf_params=params, size=render_size, num_bone=24,
                            parent_id=tuple(int(x) for x in SMPL_PARENTS),
                            use_triplane=True, ray_batchsize=4096)

@@ -108,6 +108,17 @@ class DSONARFGenerator(nn.Module):
             return self.nerf.pack_planes(z_or_planes)
         return z_or_planes
 
+    def pack_planes_tiled(self, planes):
+        return self.nerf.pack_planes_tiled(planes)
+
+    def nerf_density_color_tiled(self, points, pose_scaled, bone_length_t,
+                                 tables, z_rend, n_patch, m, S,
+                                 ray_direction=None):
+        d, c, _ = self.nerf.density_color_tiled(
+            points, pose_scaled, bone_length_t, tables, z_rend, n_patch, m,
+            S, ray_direction)
+        return d, c
+
     def __call__(self, rng: jax.Array, pose_to_camera, camera_pose, mask,
                  frame_time, bone_length, inv_intrinsics,
                  background: Optional[float] = None):
@@ -320,6 +331,36 @@ def register_canonical_pose(variables, canonical_pose: np.ndarray,
     return variables
 
 
+def dso_render_entire_img_tiled(gen: DSONARFGenerator, variables, rng,
+                                pose_to_camera, inv_intrinsics, frame_time,
+                                bone_length, camera_pose=None,
+                                render_size: int = 128,
+                                ray_batchsize: Optional[int] = None):
+    """Patch-tiled full-image DSO inference — the shared-fetch fast path
+    (nerf/tiled.py + ops/tilewin.py). Selected by
+    ``nerf_params.tile_patch > 0``; same outputs as dso_render_entire_img
+    up to the documented sampling-pattern change."""
+    from enarf_gan_tpu.nerf.tiled import render_entire_img_tiled
+    P = gen.nerf_params.tile_patch
+    assert gen.use_triplane, "tile_patch requires the tri-plane model"
+    z = gen.apply(variables, frame_time, pose_to_camera, method="get_latents")
+    pose_t, bl_t = gen.apply(variables, pose_to_camera, bone_length,
+                             method="transform_pose")
+    planes = gen.apply(variables, z, bl_t, method="compute_tri_plane_feature")
+    tables = gen.apply(variables, planes, method="pack_planes_tiled")
+
+    def fn(points, ray_dir, pose_scaled, n_patch, S):
+        return gen.apply(variables, points, pose_scaled, bl_t, tables, z,
+                         n_patch, P * P, S, ray_dir,
+                         method="nerf_density_color_tiled")
+
+    cfg = gen.render_cfg()
+    rb = ray_batchsize or gen.nerf_params.render_bs
+    return render_entire_img_tiled(rng, fn, pose_t, inv_intrinsics, cfg,
+                                   render_size, P, ray_batchsize=rb,
+                                   camera_pose=camera_pose)
+
+
 def dso_render_entire_img(gen: DSONARFGenerator, variables, rng,
                           pose_to_camera, inv_intrinsics, frame_time,
                           bone_length, camera_pose=None, render_size: int = 128,
@@ -362,6 +403,11 @@ def make_dso_full_renderer(gen: DSONARFGenerator, render_size: int,
     @functools.partial(jax.jit, static_argnames=())
     def render(variables, rng, pose_to_camera, inv_intrinsics, frame_time,
                bone_length, camera_pose=None):
+        if gen.nerf_params.tile_patch and not use_normalized_intrinsics:
+            return dso_render_entire_img_tiled(
+                gen, variables, rng, pose_to_camera, inv_intrinsics,
+                frame_time, bone_length, camera_pose=camera_pose,
+                render_size=render_size, ray_batchsize=ray_batchsize)
         return dso_render_entire_img(
             gen, variables, rng, pose_to_camera, inv_intrinsics, frame_time,
             bone_length, camera_pose=camera_pose, render_size=render_size,

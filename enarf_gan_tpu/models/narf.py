@@ -41,19 +41,21 @@ from enarf_gan_tpu.ops.triplane import (
 def _sampler_kind() -> str:
     """Which candidate-sparse tri-plane sampler drives the hot path.
 
-    "quad" (default): ops/quadtable.py — ONE row gather per
-    (point, candidate, plane), the fastest XLA formulation measured on TPU
-    (row gathers are issue-rate-bound; see PERF.md).
+    "unirow" (default, bf16 sampling only — f32 configs fall back to
+    "quad"): ops/unirow.py — ONE fused 256-lane row gather per
+    (point, candidate, plane) carrying the feature quad AND all-bone mask
+    quads, combined in a Pallas kernel (see PERF.md round-4 probes).
+    "quad": ops/quadtable.py — feature row + bone-folded mask row (v3).
     "rowtable": ops/rowtable.py — two row gathers per sample (v2 path).
     "gridsample": per-plane grid-sample path (correctness oracle).
     """
     import os
     kind = os.environ.get("ENARF_SAMPLER")
-    if kind in ("quad", "rowtable", "gridsample"):
+    if kind in ("unirow", "quad", "rowtable", "gridsample"):
         return kind
     if os.environ.get("ENARF_ROWTABLE") == "0":  # legacy opt-out
         return "gridsample"
-    return "quad"
+    return "unirow"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +91,10 @@ class NARFParams:
     # issue-rate-bound, not bandwidth-bound (PERF.md), so f32 costs the same
     # as bf16 and keeps full precision
     plane_sample_dtype: str = "float32"
+    # patch-window fast path (ops/tilewin.py): side of the pixel patch whose
+    # rays share depth bins and window fetches; 0 = off (exact per-member
+    # sampling). 4 is the measured sweet spot (tools/analyze_patch_locality)
+    tile_patch: int = 0
 
     @classmethod
     def from_config(cls, nerf_params, view_dependent: Optional[bool] = None):
@@ -124,6 +130,7 @@ class NARFParams:
             tri_plane_size=int(get("tri_plane_size", 256)),
             feat_dim=int(get("feat_dim", 32)),
             w_dim=int(get("w_dim", 512)),
+            tile_patch=int(get("tile_patch", 0)),
         )
 
 
@@ -318,6 +325,14 @@ class TriPlaneNARF(nn.Module):
         return (p.max_bones_per_point < self.num_bone and not p.no_selector
                 and not p.selector_mlp)
 
+    def _effective_sampler(self) -> str:
+        kind = _sampler_kind()
+        if kind == "unirow" and (self.params.plane_sample_dtype != "bfloat16"
+                                 or self.params.feat_dim > 32
+                                 or self.num_bone > 32):
+            return "quad"  # unirow rows are bf16 / 32-lane-blocked
+        return kind
+
     def pack_planes(self, tri_plane_feature):
         """Pre-pack planes into the active sampler's table.
 
@@ -330,11 +345,17 @@ class TriPlaneNARF(nn.Module):
         if (tri_plane_feature is not None
                 and not isinstance(tri_plane_feature, tuple)
                 and tri_plane_feature.ndim == 4
-                and self.uses_candidate_sampling()
-                and _sampler_kind() == "quad"):
-            from enarf_gan_tpu.ops.quadtable import pack_quadtable
-            return pack_quadtable(tri_plane_feature, self.params.feat_dim,
-                                  self.num_bone, self.plane_sample_dtype)
+                and self.uses_candidate_sampling()):
+            kind = self._effective_sampler()
+            if kind == "unirow":
+                from enarf_gan_tpu.ops.unirow import pack_unirow
+                return (pack_unirow(tri_plane_feature, self.params.feat_dim,
+                                    self.num_bone),)
+            if kind == "quad":
+                from enarf_gan_tpu.ops.quadtable import pack_quadtable
+                return pack_quadtable(tri_plane_feature,
+                                      self.params.feat_dim, self.num_bone,
+                                      self.plane_sample_dtype)
         return tri_plane_feature
 
     def density_color(self, position, pose_to_camera, bone_length,
@@ -377,10 +398,22 @@ class TriPlaneNARF(nn.Module):
             from enarf_gan_tpu.ops.triplane import select_candidate_bones
             cand_idx, cand_valid, cand_pos = select_candidate_bones(
                 canonical_pts, validity, p.max_bones_per_point)
-            kind = _sampler_kind()
-            if packed or kind == "quad":
-                # quad table: ONE row gather per (pt, cand, plane); feature
-                # AND mask lanes ride the same row (ops/quadtable.py)
+            kind = self._effective_sampler()
+            if (packed and len(tri_plane_feature) == 1) or (
+                    not packed and kind == "unirow"):
+                # unirow table: ONE fused 256-lane gather per
+                # (pt, cand, plane) — feature quad + all-bone mask quads in
+                # the same row, Pallas combine (ops/unirow.py)
+                from enarf_gan_tpu.ops.unirow import (
+                    pack_unirow, sample_candidates_unirow)
+                table = (tri_plane_feature[0] if packed else
+                         pack_unirow(tri_plane_feature, p.feat_dim, K))
+                feature, cand_w = sample_candidates_unirow(
+                    table, cand_pos, cand_idx, cand_valid, p.feat_dim, K,
+                    ts, ts, clamp_mask=p.clamp_mask)
+            elif packed or kind == "quad":
+                # quad table: one feature-row + one bone-folded mask-row
+                # gather per (pt, cand, plane) (ops/quadtable.py)
                 from enarf_gan_tpu.ops.quadtable import (
                     pack_quadtable, sample_candidates_quadtable)
                 table = tri_plane_feature if packed else pack_quadtable(
@@ -433,6 +466,50 @@ class TriPlaneNARF(nn.Module):
             density = density_relu(density) * 10
         density = density * validity.any(axis=1, keepdims=True)
         aux = {"weight": weight}
+        return density, color, aux
+
+    def pack_planes_tiled(self, tri_plane_feature):
+        """Pack planes into the patch-window tables (ops/tilewin.py)."""
+        from enarf_gan_tpu.ops.tilewin import pack_tilewin
+        return pack_tilewin(tri_plane_feature, self.params.feat_dim,
+                            self.num_bone)
+
+    def density_color_tiled(self, position, pose_to_camera, bone_length,
+                            tables, z_rend, n_patch: int, m: int, S: int,
+                            ray_direction=None, with_stats: bool = False):
+        """Patch-window fast path of ``density_color`` (ops/tilewin.py).
+
+        Same math as the candidate branch, but candidates are chosen per
+        (pixel patch, sample) and the tri-plane gathers are one shared
+        window fetch per (patch, sample, slot, plane) instead of one row
+        per (point, candidate, plane). ``position`` must be in tiled point
+        order ((patch*m + member)*S + sample); see nerf/tiled.py.
+        """
+        from enarf_gan_tpu.ops.tilewin import (select_patch_slots,
+                                               sample_tilewin)
+        p = self.params
+        bs, _, n = position.shape
+        local, canonical = self.to_local_and_canonical(
+            position, pose_to_camera, bone_length)
+        validity = in_cube(local)
+        validity = validity & (jnp.abs(canonical) < 1).all(axis=2)
+        slot_idx, cand_pos, cand_valid = select_patch_slots(
+            canonical, validity, n_patch, m, S, p.max_bones_per_point)
+        out = sample_tilewin(tables, cand_pos, slot_idx, cand_valid,
+                             clamp_mask=p.clamp_mask, with_stats=with_stats)
+        feature, cand_w = out[0].astype(jnp.float32), out[1]
+        wv = (cand_w * cand_valid).max(axis=1)          # (B, np, m, S)
+        weight_max = wv.reshape(bs, 1, n)
+
+        density, color = self.heads(feature, z_rend, ray_direction)
+        if p.multiply_density_with_triplane_weight:
+            density = density_relu(density) * (10 * weight_max)
+        else:
+            density = density_relu(density) * 10
+        density = density * validity.any(axis=1, keepdims=True)
+        aux = {"weight": cand_w.reshape(bs, -1, n)}
+        if with_stats:
+            aux["tilewin_stats"] = out[2]
         return density, color, aux
 
 

@@ -1,0 +1,286 @@
+"""Patch-window tri-plane sampling — shared-fetch TPU fast path (v5).
+
+The per-member samplers (ops/unirow.py, ops/quadtable.py) pay one row
+gather per (point, candidate, plane); XLA row gathers are ISSUE-bound
+(245-415 M rows/s, PERF.md), which caps a 128² frame at ~0.1-0.25 Mrays/s.
+This sampler exploits ACROSS-RAY locality instead (measured,
+tools/analyze_patch_locality.py): with depth bins pooled per 4×4-pixel
+patch, the 16 member rays of a (patch, sample, bone, plane) group land
+within ≤5 texels of each other on the plane — so ONE 7×7-texel window
+fetch serves the whole group:
+
+  fetch   jnp.take of (16,128)-tile rows from a stride-2 packed window
+          table (measured 69.6 Mwin/s / 285 GB/s, tools/bench_tileshape.py,
+          bench_windowgather.py — unaligned XLA window-gathers are 7×
+          slower, so windows are pre-packed and takes stay row-shaped)
+  select  per-member bilinear = one batched einsum (members, 49) one-hot-
+          bilinear weights @ (group, 49, F) windows — MXU, ~5 TFLOP/s
+          measured; the 49-vector is the outer product of separable 7-wide
+          t/s weight vectors, so the 4 bilinear corners ride one matmul
+
+Window coverage is EXACT for groups whose texel spread fits the window
+(measured max spread 5 at patch 4×4 with pooled bins → spread ≤ 4 always
+covered at stride 2, spread 5 covered at even minima); the residual
+(~0.03% of groups on bench geometry) is CLAMPED to the window edge and
+reported by ``coverage_stats`` so callers can assert bounds. The exact
+per-member samplers remain the default for eval/interop parity paths.
+
+Reference equivalents: libraries/triplane/sampling.py:54-127,
+cuda_extension/TriplaneSampler_kernel.cu:37-92 (align_corners=False,
+zeros padding — reproduced here via the 1-texel zero pad ring).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from enarf_gan_tpu.ops.activation import straight_through_clamp
+from enarf_gan_tpu.ops.triplane import PLANE_COORDS
+
+WIN = 7            # window side, texels
+STRIDE = 2         # window base stride, texels
+SUB = 16           # sublanes per packed feature-window tile
+LANE = 128
+
+
+class TilewinTables(NamedTuple):
+    feat: jnp.ndarray    # (B*3*nb*nb, SUB, LANE) bf16
+    mask: jnp.ndarray    # (B*K*3*nb*nb, 64) bf16
+    nb: int              # window bases per plane dim
+    feat_dim: int
+    num_bone: int
+    size: int            # plane resolution (H == W)
+
+
+def _num_bases(size: int) -> int:
+    # quad top-left texels py span [0, size] in the zero-padded plane and
+    # the quad extends to py+1, so the last window must reach texel size+1:
+    # max base >= size - (WIN - 2), rounded up to the stride
+    return (size - WIN + 3 + STRIDE - 1) // STRIDE + 1
+
+
+def pack_tilewin(tri_plane_feature: jnp.ndarray, feat_dim: int,
+                 num_bone: int) -> TilewinTables:
+    """(B, (F+K)*3, H, W) planes → packed window tables.
+
+    Feature rows hold the 7×7×F window at base (2bi, 2bj) of the 1-texel
+    zero-padded plane (grid_sample zero padding); mask rows hold the same
+    window of one bone's mask plane in 49 of 64 lanes.
+    """
+    B, C3, H, W = tri_plane_feature.shape
+    F, K = feat_dim, num_bone
+    assert C3 == (F + K) * 3 and H == W, (C3, F, K, H, W)
+    nb = _num_bases(H)
+    span = (nb - 1) * STRIDE + WIN     # padded extent windows address
+
+    feat = tri_plane_feature[:, :F * 3].reshape(B, 3, F, H, W) \
+        .transpose(0, 1, 3, 4, 2)                          # (B,3,H,W,F)
+    mask = tri_plane_feature[:, F * 3:].reshape(B, K, 3, H, W) \
+        .transpose(0, 1, 2, 3, 4)                          # (B,K,3,H,W)
+
+    pf = jnp.pad(feat, ((0, 0), (0, 0), (1, span - H - 1),
+                        (1, span - W - 1), (0, 0)))
+    pm = jnp.pad(mask, ((0, 0), (0, 0), (0, 0), (1, span - H - 1),
+                        (1, span - W - 1)))
+
+    def windows(p, ch_last):  # (..., span, span[, C]) → (..., nb, nb, 49[*C])
+        slabs = []
+        for dt in range(WIN):
+            for ds in range(WIN):
+                sl = p[..., dt:dt + (nb - 1) * STRIDE + 1:STRIDE,
+                       ds:ds + (nb - 1) * STRIDE + 1:STRIDE] \
+                    if not ch_last else \
+                    p[..., dt:dt + (nb - 1) * STRIDE + 1:STRIDE,
+                      ds:ds + (nb - 1) * STRIDE + 1:STRIDE, :]
+                slabs.append(sl)
+        return jnp.stack(slabs, axis=-1 if not ch_last else -2)
+
+    fw = windows(pf, True)              # (B, 3, nb, nb, 49, F)
+    fw = fw.reshape(B * 3 * nb * nb, WIN * WIN * F).astype(jnp.bfloat16)
+    pad = SUB * LANE - WIN * WIN * F
+    assert pad >= 0, (WIN, F)
+    fw = jnp.pad(fw, ((0, 0), (0, pad))).reshape(-1, SUB, LANE)
+
+    mw = windows(pm, False)             # (B, K, 3, nb, nb, 49)
+    mw = mw.reshape(B * K * 3 * nb * nb, WIN * WIN).astype(jnp.bfloat16)
+    mw = jnp.pad(mw, ((0, 0), (0, 64 - WIN * WIN)))
+    return TilewinTables(fw, mw, nb, F, K, H)
+
+
+def member_texels(cp: jnp.ndarray, size: int):
+    """Padded-plane texel coords + bilinear fractions per (plane, member).
+
+    cp: (B, 3, Mp, n) canonical positions in [-1, 1] (invalid slots at 2).
+    Returns py, px (B,3,Mp,n) int32 in [0, size] (top-left texel of the
+    2×2 quad in the 1-texel zero-padded plane) and fy, fx fractions —
+    identical sampling semantics to ops/quadtable._quad_cells_weights
+    (align_corners=False + zero padding: the pad ring IS the zero border).
+    """
+    H = W = size
+    pys, pxs, fys, fxs = [], [], [], []
+    for p, (i, j) in enumerate(PLANE_COORDS):
+        x = (cp[:, i] + 1) * (W / 2) - 0.5
+        y = (cp[:, j] + 1) * (H / 2) - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fxs.append(x - x0)
+        fys.append(y - y0)
+        pxs.append(jnp.clip(x0, -1, W - 1).astype(jnp.int32) + 1)
+        pys.append(jnp.clip(y0, -1, H - 1).astype(jnp.int32) + 1)
+    stack = lambda l: jnp.stack(l, axis=1)  # noqa: E731
+    return stack(pys), stack(pxs), stack(fys), stack(fxs)
+
+
+def group_bases(py, px, valid, nb: int):
+    """Window base (stride-aligned, clipped) per (B, 3, Mp, np, S) group
+    from the member texel minima (invalid members excluded via +big)."""
+    big = jnp.int32(10 ** 6)
+    inv = jnp.where(valid, 0, big)
+    min_t = (py + inv).min(axis=4)                    # (B,3,Mp,np,S)
+    min_s = (px + inv).min(axis=4)
+    hi = (nb - 1) * STRIDE
+    bt = jnp.clip((min_t // STRIDE) * STRIDE, 0, hi)
+    bs = jnp.clip((min_s // STRIDE) * STRIDE, 0, hi)
+    return bt, bs
+
+
+def _sep_weights(d, f, lim: int):
+    """7-wide separable bilinear weight vector: w[i] = [i==d](1-f) + [i==d+1]f.
+    d: (..., ) int32 window-local texel offset; clamped members saturate at
+    the window edge (d clipped into [0, WIN-1])."""
+    d = jnp.clip(d, 0, lim - 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, d.shape + (lim,), d.ndim)
+    dd = d[..., None]
+    ff = f[..., None]
+    return jnp.where(iota == dd, 1.0 - ff,
+                     jnp.where(iota == dd + 1, ff, 0.0))
+
+
+def select_patch_slots(canonical: jnp.ndarray, validity: jnp.ndarray,
+                       n_patch: int, m: int, S: int, Mp: int):
+    """Patch-level candidate bones: the Mp best bones per (patch, sample).
+
+    Patch-pooled analog of ops/triplane.select_candidate_bones — the score
+    per bone is the max over the patch's member rays of
+    (valid ? 1 + cube-centrality : -1), so every bone valid anywhere in the
+    patch competes; members whose valid bone misses all Mp slots are
+    dropped (capacity leak, measured ~0-3% of members at Mp=4 on bench
+    geometry — tools/analyze_patch_locality.py).
+
+    Args:
+        canonical: (B, K, 3, n) canonical positions,
+            point order ((patch*m + member)*S + sample).
+        validity: (B, K, n) bool.
+    Returns:
+        slot_idx (B, Mp, np, S) int32; cand_pos (B, 3, Mp, np, m, S);
+        cand_valid (B, Mp, np, m, S) bool.
+    """
+    B, K, _, n = canonical.shape
+    assert n == n_patch * m * S, (n, n_patch, m, S)
+    centrality = 1.0 - jnp.abs(canonical).max(axis=2)        # (B, K, n)
+    score = jnp.where(validity, 1.0 + centrality, -1.0)
+    pooled = score.reshape(B, K, n_patch, m, S).max(axis=3)  # (B,K,np,S)
+
+    bone_ids = jnp.arange(K, dtype=jnp.int32).reshape(1, K, 1, 1)
+    sc = pooled
+    idx_l, oh_l = [], []
+    for _ in range(Mp):
+        i = jnp.argmax(sc, axis=1).astype(jnp.int32)         # (B, np, S)
+        sel = bone_ids == i[:, None]                         # (B, K, np, S)
+        idx_l.append(i)
+        oh_l.append(sel)
+        sc = jnp.where(sel, -jnp.inf, sc)
+    slot_idx = jnp.stack(idx_l, axis=1)                      # (B,Mp,np,S)
+    oh = jnp.stack(oh_l, axis=1).astype(canonical.dtype)     # (B,Mp,K,np,S)
+
+    canonical_r = canonical.reshape(B, K, 3, n_patch, m, S)
+    cand_pos = jnp.einsum("bgkns,bkcnms->bgcnms", oh, canonical_r) \
+        .transpose(0, 2, 1, 3, 4, 5)                         # (B,3,Mp,np,m,S)
+    valid_r = validity.reshape(B, K, n_patch, m, S)
+    cand_valid = jnp.einsum("bgkns,bknms->bgnms", oh,
+                            valid_r.astype(canonical.dtype)) > 0.5
+    return slot_idx, cand_pos, cand_valid
+
+
+def sample_tilewin(tables: TilewinTables, cand_pos: jnp.ndarray,
+                   slot_idx: jnp.ndarray, cand_valid: jnp.ndarray,
+                   clamp_mask: bool = False, with_stats: bool = False):
+    """Fused window-shared part-prob + weighted-feature sampling.
+
+    Args:
+        tables: packed tables from ``pack_tilewin``.
+        cand_pos: (B, 3, Mp, np, m, S) canonical positions per member/slot
+            (invalid slots at 2.0), from ``select_patch_slots``.
+        slot_idx: (B, Mp, np, S) int32 slot bone ids.
+        cand_valid: (B, Mp, np, m, S) bool.
+    Returns:
+        (feature (B, F, np*m*S) f32, cand_w (B, Mp, np, m, S) f32
+        [, stats]) — stats (if requested) = {"clamped": fraction of valid
+        member-plane fetches outside their group window (edge-clamped)}.
+    """
+    B, _, Mp, n_patch, m, S = cand_pos.shape
+    F, K, nb, size = (tables.feat_dim, tables.num_bone, tables.nb,
+                      tables.size)
+    n = n_patch * m * S
+    cp = cand_pos.reshape(B, 3, Mp, n)
+    py, px, fy, fx = member_texels(cp, size)
+    pym = py.reshape(B, 3, Mp, n_patch, m, S)
+    pxm = px.reshape(B, 3, Mp, n_patch, m, S)
+    vm = jnp.broadcast_to(cand_valid[:, None],
+                          (B, 3, Mp, n_patch, m, S))
+    bt, bs = group_bases(pym, pxm, vm, nb)              # (B,3,Mp,np,S)
+
+    # feature window rows: (b*3 + p)*nb² + bi*nb + bj
+    plane = jnp.arange(3, dtype=jnp.int32).reshape(1, 3, 1, 1, 1)
+    batch = jnp.arange(B, dtype=jnp.int32).reshape(B, 1, 1, 1, 1)
+    bi, bj = bt // STRIDE, bs // STRIDE
+    frows = ((batch * 3 + plane) * nb + bi) * nb + bj   # (B,3,Mp,np,S)
+    g = jnp.take(tables.feat, frows.reshape(-1), axis=0)
+    g = g.reshape(B, 3, Mp, n_patch, S, SUB * LANE)[..., :WIN * WIN * F]
+    g = g.reshape(B, 3, Mp, n_patch, S, WIN * WIN, F)
+
+    # mask window rows: ((b*K + k)*3 + p)*nb² + bi*nb + bj
+    mrows = (((batch * K + slot_idx[:, None]) * 3 + plane)
+             * nb + bi) * nb + bj                       # (B,3,Mp,np,S)
+    gm = jnp.take(tables.mask, mrows.reshape(-1), axis=0)
+    gm = gm.reshape(B, 3, Mp, n_patch, S, 64)[..., :WIN * WIN]
+
+    # per-member separable window weights (feed the einsums below)
+    def expand(v):  # (B,3,Mp,np,S) → (B,3,Mp,np,m,S) member broadcast
+        return v[:, :, :, :, None]
+
+    dt = pym - expand(bt)
+    ds = pxm - expand(bs)
+    clamped = ((dt < 0) | (dt > WIN - 2) | (ds < 0) | (ds > WIN - 2))
+    wt = _sep_weights(jnp.clip(dt, 0, WIN - 2),
+                      fy.reshape(pym.shape), WIN)       # (...,m,S,7)
+    ws = _sep_weights(jnp.clip(ds, 0, WIN - 2),
+                      fx.reshape(pxm.shape), WIN)
+    w49 = (wt[..., :, None] * ws[..., None, :]) \
+        .reshape(B, 3, Mp, n_patch, m, S, WIN * WIN).astype(jnp.bfloat16)
+    # zero the weights of invalid members so garbage texels never leak
+    w49 = w49 * vm[..., None].astype(w49.dtype)
+
+    # select+bilinear: one batched MXU contraction over the 49 window
+    # texels; the 4 bilinear corners are the nonzeros of w49
+    w49g = w49.transpose(0, 1, 2, 3, 5, 4, 6)           # (B,3,Mp,np,S,m,49)
+    feat = jnp.einsum("bpgnsmw,bpgnswf->bpgnsmf", w49g, g,
+                      preferred_element_type=jnp.float32)
+    feat = feat.sum(axis=1)                             # (B,Mp,np,S,m,F)
+    logit = jnp.einsum("bpgnsmw,bpgnsw->bpgnsm", w49g,
+                       gm.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    if clamp_mask:
+        logit = straight_through_clamp(logit)
+    cand_wn = jax.nn.sigmoid(logit).prod(axis=1)        # (B,Mp,np,S,m)
+
+    vf = cand_valid.transpose(0, 1, 2, 4, 3).astype(jnp.float32)
+    w = cand_wn * vf                                    # (B,Mp,np,S,m)
+    feature = jnp.einsum("bgnsmf,bgnsm->bfnms", feat, w).reshape(B, F, n)
+    cand_w = cand_wn.transpose(0, 1, 2, 4, 3)           # (B,Mp,np,m,S)
+    if not with_stats:
+        return feature, cand_w
+    stats = {"clamped": (clamped & vm).sum() / jnp.maximum(vm.sum(), 1)}
+    return feature, cand_w, stats

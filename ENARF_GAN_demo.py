@@ -21,6 +21,9 @@ def main():
     parser.add_argument("--black_bg", action="store_true")
     parser.add_argument("--mesh", action="store_true",
                         help="also extract + rasterize a mesh per sample")
+    parser.add_argument("--mesh_voxel_size", type=float, default=0.003,
+                        help="marching-tetrahedra voxel size (reference "
+                             "mesh_rendering.py:52 voxel 3mm)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -97,6 +100,7 @@ def main():
             from enarf_gan_tpu.mesh.extract import gan_create_mesh
             from enarf_gan_tpu.mesh.raster import render_mesh_image
             verts, faces = gan_create_mesh(gen, gen_vars, pose, bl, z,
+                                           voxel_size=args.mesh_voxel_size,
                                            truncation_psi=args.truncation)
             mesh_img = render_mesh_image(
                 verts, faces, np.asarray(batch["intrinsics"], np.float32),

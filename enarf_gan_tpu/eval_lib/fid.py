@@ -78,7 +78,14 @@ def make_inception_extractor(weights_npz: Optional[str] = None,
     comparable with the standard weights, so no silent fallback.
     """
     weights_npz = weights_npz or os.environ.get("INCEPTION_WEIGHTS_NPZ", "")
-    if weights_npz and os.path.exists(weights_npz):
+    if weights_npz and (os.path.exists(weights_npz)
+                        or weights_npz.startswith("random")):
+        # "random"/"random:<seed>" = seeded He-init weight set: the full
+        # 2048-d InceptionV3 graph with deterministic random filters —
+        # self-consistent pipeline-validation FID for offline boxes where
+        # neither torchvision nor cleanfid weights can be fetched (the
+        # stats cache is keyed by weight set, so these numbers never mix
+        # with real-weight FIDs)
         from enarf_gan_tpu.eval_lib.inception_jax import make_extractor
         return make_extractor(weights_npz)
     try:

@@ -134,9 +134,105 @@ def inception_features(x: jnp.ndarray, w: Dict) -> jnp.ndarray:
     return x.mean(axis=(2, 3))  # global average pool → (B, 2048)
 
 
+def _conv_specs():
+    """(name, out_ch, in_ch, kh, kw) for every conv+BN block in the graph.
+
+    Mirrors torchvision inception_v3's channel plan exactly; used to
+    synthesize architecture-complete weight sets offline (the real
+    pretrained export needs torchvision, data_preprocess/
+    export_inception_weights.py).
+    """
+    specs = [("Conv2d_1a_3x3", 32, 3, 3, 3), ("Conv2d_2a_3x3", 32, 32, 3, 3),
+             ("Conv2d_2b_3x3", 64, 32, 3, 3), ("Conv2d_3b_1x1", 80, 64, 1, 1),
+             ("Conv2d_4a_3x3", 192, 80, 3, 3)]
+
+    def block_a(n, cin, pf):
+        return [(f"{n}/branch1x1", 64, cin, 1, 1),
+                (f"{n}/branch5x5_1", 48, cin, 1, 1),
+                (f"{n}/branch5x5_2", 64, 48, 5, 5),
+                (f"{n}/branch3x3dbl_1", 64, cin, 1, 1),
+                (f"{n}/branch3x3dbl_2", 96, 64, 3, 3),
+                (f"{n}/branch3x3dbl_3", 96, 96, 3, 3),
+                (f"{n}/branch_pool", pf, cin, 1, 1)]
+
+    def block_c(n, c7):
+        return [(f"{n}/branch1x1", 192, 768, 1, 1),
+                (f"{n}/branch7x7_1", c7, 768, 1, 1),
+                (f"{n}/branch7x7_2", c7, c7, 1, 7),
+                (f"{n}/branch7x7_3", 192, c7, 7, 1),
+                (f"{n}/branch7x7dbl_1", c7, 768, 1, 1),
+                (f"{n}/branch7x7dbl_2", c7, c7, 7, 1),
+                (f"{n}/branch7x7dbl_3", c7, c7, 1, 7),
+                (f"{n}/branch7x7dbl_4", c7, c7, 7, 1),
+                (f"{n}/branch7x7dbl_5", 192, c7, 1, 7),
+                (f"{n}/branch_pool", 192, 768, 1, 1)]
+
+    def block_e(n, cin):
+        return [(f"{n}/branch1x1", 320, cin, 1, 1),
+                (f"{n}/branch3x3_1", 384, cin, 1, 1),
+                (f"{n}/branch3x3_2a", 384, 384, 1, 3),
+                (f"{n}/branch3x3_2b", 384, 384, 3, 1),
+                (f"{n}/branch3x3dbl_1", 448, cin, 1, 1),
+                (f"{n}/branch3x3dbl_2", 384, 448, 3, 3),
+                (f"{n}/branch3x3dbl_3a", 384, 384, 1, 3),
+                (f"{n}/branch3x3dbl_3b", 384, 384, 3, 1),
+                (f"{n}/branch_pool", 192, cin, 1, 1)]
+
+    specs += block_a("Mixed_5b", 192, 32)
+    specs += block_a("Mixed_5c", 256, 64)
+    specs += block_a("Mixed_5d", 288, 64)
+    specs += [("Mixed_6a/branch3x3", 384, 288, 3, 3),
+              ("Mixed_6a/branch3x3dbl_1", 64, 288, 1, 1),
+              ("Mixed_6a/branch3x3dbl_2", 96, 64, 3, 3),
+              ("Mixed_6a/branch3x3dbl_3", 96, 96, 3, 3)]
+    for n, c7 in (("Mixed_6b", 128), ("Mixed_6c", 160), ("Mixed_6d", 160),
+                  ("Mixed_6e", 192)):
+        specs += block_c(n, c7)
+    specs += [("Mixed_7a/branch3x3_1", 192, 768, 1, 1),
+              ("Mixed_7a/branch3x3_2", 320, 192, 3, 3),
+              ("Mixed_7a/branch7x7x3_1", 192, 768, 1, 1),
+              ("Mixed_7a/branch7x7x3_2", 192, 192, 1, 7),
+              ("Mixed_7a/branch7x7x3_3", 192, 192, 7, 1),
+              ("Mixed_7a/branch7x7x3_4", 192, 192, 3, 3)]
+    specs += block_e("Mixed_7b", 1280)
+    specs += block_e("Mixed_7c", 2048)
+    return specs
+
+
+def random_weights(seed: int = 0) -> Dict[str, np.ndarray]:
+    """Architecture-complete He-init weight set (no torchvision needed).
+
+    FID computed with these is self-consistent (fixed seed) but NOT
+    comparable to published numbers — use only for pipeline validation and
+    relative training-progress tracking when pretrained weights are
+    unavailable offline (eval_lib/fid.py weight-set policy).
+    """
+    rng = np.random.RandomState(seed)
+    w = {}
+    for name, co, ci, kh, kw in _conv_specs():
+        std = np.sqrt(2.0 / (ci * kh * kw))
+        w[f"{name}/conv/weight"] = rng.normal(
+            0, std, (co, ci, kh, kw)).astype(np.float32)
+        w[f"{name}/bn/weight"] = np.ones(co, np.float32)
+        w[f"{name}/bn/bias"] = np.zeros(co, np.float32)
+        w[f"{name}/bn/running_mean"] = np.zeros(co, np.float32)
+        w[f"{name}/bn/running_var"] = np.ones(co, np.float32)
+    return w
+
+
 def make_extractor(weights_npz: str, batch_size: int = 64):
-    """FeatureExtractor over [0,255] images (resized to 299² by the caller)."""
-    weights = {k: jnp.asarray(v) for k, v in np.load(weights_npz).items()
+    """FeatureExtractor over [0,255] images (resized to 299² by the caller).
+
+    ``weights_npz`` may be ``"random"`` / ``"random:<seed>"`` to use the
+    seeded He-init weight set (``random_weights``) — pipeline-validation
+    FID only, not comparable to published numbers.
+    """
+    if weights_npz.startswith("random"):
+        seed = int(weights_npz.split(":", 1)[1]) if ":" in weights_npz else 0
+        raw = random_weights(seed).items()
+    else:
+        raw = np.load(weights_npz).items()
+    weights = {k: jnp.asarray(v) for k, v in raw
                if "AuxLogits" not in k and k != "fc/weight" and k != "fc/bias"}
 
     @jax.jit

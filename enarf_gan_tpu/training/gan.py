@@ -309,7 +309,11 @@ def train_loop(config, gen, dis, datasets, loaders, canonical_pose,
             save_img_grid(np.asarray(real_img), os.path.join(out_dir, "real.png"))
             save_img_grid(np.asarray(batch["bone_mask"]) * 2 - 1,
                           os.path.join(out_dir, f"bone_{iteration // 5000 * 5000}.png"))
-        if iteration % 200 == 0:
+        # reference cadence is a fixed 200 (train_ENARF_GAN.py:278-294);
+        # configurable here + final-iteration save so short runs (tests,
+        # budget-bounded jobs) still leave a resumable/demo-able snapshot
+        if (iteration % config.get("save_interval", 200) == 0
+                or iteration >= num_iter):
             ckpt.save_checkpoint(out_dir, {"iteration": iteration, **state},
                                  iteration)
     writer.close()

@@ -24,14 +24,16 @@ ALGO = "aligned_crop"
 CROP_SIZE = 600
 SAVE_SIZE = 128
 STANDARD_FOCAL = 1500
-N_PER_PERSON = 3000
+N_PER_PERSON = 3000  # default; --n_per_person overrides for small runs
 
 
 def smpl_forward_batch(model, poses):
     import jax.numpy as jnp
     from enarf_gan_tpu.geometry.smpl import smpl_pose_transforms
-    betas = np.zeros((1, model["shapedirs"].shape[-1]), np.float32)
-    return np.asarray(smpl_pose_transforms(
+    from enarf_gan_tpu.utils.platform import sync_platform_from_env
+    sync_platform_from_env()
+    betas = np.zeros((len(poses), model["shapedirs"].shape[-1]), np.float32)
+    return np.array(smpl_pose_transforms(
         jnp.asarray(betas), jnp.asarray(poses.reshape(len(poses), -1),
                                         jnp.float32),
         jnp.asarray(model["v_template"]), jnp.asarray(model["shapedirs"]),
@@ -94,7 +96,8 @@ def aligned_crop(img, intrinsic, rot, trans, pose):
     return out, _rebase_intrinsics(intrinsic, top_left, side), validity
 
 
-def read_frames(video_dir, aist_dataset, smpl_model, person_id):
+def read_frames(video_dir, aist_dataset, smpl_model, person_id,
+                n_per_person=N_PER_PERSON):
     import cv2
     from aist_plusplus import utils
     from aist_plusplus.loader import AISTDataset
@@ -150,7 +153,7 @@ def read_frames(video_dir, aist_dataset, smpl_model, person_id):
 
     video, intrinsic = video[validity], intrinsic[validity]
     rmat, tvec, smpl = rmat[validity], tvec[validity], smpl[validity]
-    idx = np.linspace(0, len(video) - 1, N_PER_PERSON, dtype=int)
+    idx = np.linspace(0, len(video) - 1, n_per_person, dtype=int)
     video, intrinsic = video[idx], intrinsic[idx]
     rmat, tvec, smpl = rmat[idx], tvec[idx].copy(), smpl[idx].copy()
     tvec /= 100
@@ -164,6 +167,9 @@ def main():
     parser.add_argument("--write_path", type=str, default="data/aist++")
     parser.add_argument("--annotation_path", type=str, required=True)
     parser.add_argument("--smpl_dir", type=str, default="smpl_data")
+    parser.add_argument("--person_ids", type=str, default=None,
+                        help="comma-separated dancer ids (default: all 30)")
+    parser.add_argument("--n_per_person", type=int, default=N_PER_PERSON)
     args = parser.parse_args()
 
     from aist_plusplus.loader import AISTDataset
@@ -174,11 +180,14 @@ def main():
     cache_root = (f"{args.write_path}/cache{SAVE_SIZE}_{ALGO}_"
                   f"fl{STANDARD_FOCAL}")
 
-    person_ids = np.concatenate([np.arange(7, 31), np.arange(1, 7)])
+    person_ids = np.concatenate([np.arange(7, 31), np.arange(1, 7)]) \
+        if args.person_ids is None else \
+        [int(p) for p in args.person_ids.split(",")]
     merged = {}
     for pid in person_ids:
         video, rmat, tvec, smpl, intrinsic = read_frames(
-            args.data_path, aist_dataset, smpl_model, pid)
+            args.data_path, aist_dataset, smpl_model, pid,
+            args.n_per_person)
         arrays = dict(imgs=video.transpose(0, 3, 1, 2).astype(np.uint8),
                       camera_intrinsic=intrinsic.astype(np.float32),
                       camera_rotation=rmat.astype(np.float32),

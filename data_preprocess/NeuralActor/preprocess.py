@@ -119,6 +119,11 @@ def main():
     parser.add_argument("--data_path", type=str, required=True)
     parser.add_argument("--write_path", type=str, default="data/NeuralActor")
     parser.add_argument("--n_process", type=int, default=5)
+    # overrides for small runs / smoke fixtures
+    parser.add_argument("--person_id", type=str, default=None)
+    parser.add_argument("--n_train_frame", type=int, default=None)
+    parser.add_argument("--n_test_frame", type=int, default=None)
+    parser.add_argument("--n_camera", type=int, default=None)
     args = parser.parse_args()
 
     configs = [
@@ -127,6 +132,11 @@ def main():
         {"person_id": "marc", "n_train_frame": 38194, "n_test_frame": 23062,
          "n_camera": 12},
     ]
+    if args.person_id is not None:
+        configs = [{"person_id": args.person_id,
+                    "n_train_frame": args.n_train_frame or 4,
+                    "n_test_frame": args.n_test_frame or 2,
+                    "n_camera": args.n_camera or 2}]
     for conf in configs:
         for debug in (False, True):
             save_cache(args.data_path, args.write_path, conf["person_id"],

@@ -21,6 +21,8 @@ IMAGE_SIZE = 512
 def smpl_forward(model, poses, betas):
     import jax.numpy as jnp
     from enarf_gan_tpu.geometry.smpl import smpl_pose_transforms
+    from enarf_gan_tpu.utils.platform import sync_platform_from_env
+    sync_platform_from_env()
     return np.asarray(smpl_pose_transforms(
         jnp.asarray(betas, jnp.float32),
         jnp.asarray(poses.reshape(1, -1), jnp.float32),
@@ -100,6 +102,13 @@ def main():
     parser.add_argument("--data_path", type=str, required=True)
     parser.add_argument("--write_path", type=str, default="data/ZJU_DSO")
     parser.add_argument("--smpl_dir", type=str, default="smpl_data")
+    # overrides for small runs / smoke fixtures (default: the reference's
+    # shipped person configs, reference ZJU/preprocess.py main)
+    parser.add_argument("--person_id", type=str, default=None)
+    parser.add_argument("--n_train_frame", type=int, default=None)
+    parser.add_argument("--n_test_frame", type=int, default=None)
+    parser.add_argument("--training_views", type=str, default=None,
+                        help="comma-separated view ids")
     args = parser.parse_args()
 
     model = dict(np.load(os.path.join(args.smpl_dir, "SMPL_NEUTRAL.npz")))
@@ -111,6 +120,14 @@ def main():
         {"person_id": "386", "n_train_frame": 516, "n_test_frame": 130,
          "training_view": [0, 6, 12, 18]},
     ]
+    if args.person_id is not None:
+        configs = [{
+            "person_id": args.person_id,
+            "n_train_frame": args.n_train_frame or 4,
+            "n_test_frame": args.n_test_frame or 2,
+            "training_view": [int(v) for v in
+                              (args.training_views or "0").split(",")],
+        }]
     for conf in configs:
         pid = conf["person_id"]
         K, R, T, D, image_paths, n_cam = read_annots(args.data_path, pid)

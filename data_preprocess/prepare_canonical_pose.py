@@ -22,6 +22,8 @@ def main():
 
     import jax.numpy as jnp
     from enarf_gan_tpu.geometry.smpl import smpl_pose_transforms
+    from enarf_gan_tpu.utils.platform import sync_platform_from_env
+    sync_platform_from_env()
 
     for gender in ["MALE", "FEMALE", "NEUTRAL"]:
         path = os.path.join(args.smpl_dir, f"SMPL_{gender}.npz")
@@ -31,7 +33,7 @@ def main():
         model = np.load(path)
         poses = np.zeros((1, 24 * 3), np.float32)
         betas = np.zeros((1, model["shapedirs"].shape[-1]), np.float32)
-        A = np.asarray(smpl_pose_transforms(
+        A = np.array(smpl_pose_transforms(
             jnp.asarray(betas), jnp.asarray(poses),
             jnp.asarray(model["v_template"]), jnp.asarray(model["shapedirs"]),
             jnp.asarray(model["J_regressor"]), model["parents"]))[0]

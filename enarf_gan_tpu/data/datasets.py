@@ -160,6 +160,13 @@ class HumanDataset(HumanDatasetBase):
 class SSODataset(HumanDataset):
     """DSO dataset: adds frame_time + camera rotation (reference dataset.py:204-212)."""
 
+    def __init__(self, *args, **kwargs):
+        # DSO training always needs the FG mask (photometric mask loss);
+        # 3-channel caches (NeuralActor) derive it from the white-background
+        # ≠255 heuristic (reference dataset.py:86-92)
+        kwargs["return_mask"] = True
+        super().__init__(*args, **kwargs)
+
     def __getitem__(self, i):
         out = super().__getitem__(i)
         i = i % len(self.imgs)

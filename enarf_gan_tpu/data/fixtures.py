@@ -74,6 +74,32 @@ def camera_ring(n_camera: int, radius: float = 1.2,
     return np.stack(outs)
 
 
+def make_synthetic_smpl_npz(path: str, seed: int = 0,
+                            n_betas: int = 2) -> Dict:
+    """Write a tiny SMPL-like model npz (same keys convert_smpl_pkl.py emits).
+
+    4 vertices cluster around each of the 24 rest joints and the regressor
+    averages them, so ``smpl_pose_transforms`` reproduces the synthetic rest
+    skeleton exactly at beta=0 — which makes preprocessing-pipeline smoke
+    tests geometrically self-consistent.
+    """
+    rs = np.random.RandomState(seed + 7)
+    rest = synthetic_rest_joints(seed)
+    V = 24 * 4
+    v_template = (np.repeat(rest, 4, axis=0)
+                  + rs.uniform(-0.02, 0.02, (V, 3))).astype(np.float32)
+    J_regressor = np.zeros((24, V), np.float32)
+    for j in range(24):
+        J_regressor[j, 4 * j:4 * (j + 1)] = 0.25
+    # regressor must return the exact rest joints: correct the cluster mean
+    v_template += np.repeat(rest - J_regressor @ v_template, 4, axis=0)
+    shapedirs = rs.uniform(-0.01, 0.01, (V, 3, n_betas)).astype(np.float32)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, v_template=v_template, shapedirs=shapedirs,
+             J_regressor=J_regressor, parents=np.asarray(SMPL_PARENTS))
+    return {"rest_joints": rest, "n_vertices": V}
+
+
 def make_synthetic_depth_cache(data_root: str, size: int = 64,
                                n_items: int = 4, seed: int = 0) -> Dict:
     """Write a SURREAL-style depth cache (NARF_GAN_depth_cache layout).

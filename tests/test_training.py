@@ -96,6 +96,35 @@ def test_dso_overfit_smoke(synth_root, tmp_path):
                                        "snapshot_latest.msgpack"))
 
 
+def test_dso_overfit_psnr(synth_root, tmp_path):
+    """Metric-level acceptance: overfitting ONE frame must reach a real
+    reconstruction PSNR, not just a decreasing loss (VERDICT: sampler or
+    renderer regressions must show as metric drops; reference bar is the
+    PSNR/SSIM validation loop, train_DSO.py:75-170)."""
+    from enarf_gan_tpu.training import dso
+    config = tiny_dso_config(synth_root, str(tmp_path))
+    config.dataset.bs = 1
+    config.dataset.train.n_frames = 1
+    config.generator_params.ray_batchsize = 512
+    config.num_iter = 200
+    config.lr = 0.02
+    train_ds = SSODataset(config.dataset.train, size=32,
+                          return_bone_params=True, return_mask=True,
+                          num_repeat_in_epoch=200)
+    loader = DataLoader(train_ds, config.dataset.bs, seed=0)
+    gen = dso.build_generator(config, train_ds.num_bone, train_ds.parents)
+    variables, opt_state, history = dso.train_loop(
+        config, gen, (train_ds, {}), (loader, {}), train_ds.canonical_pose,
+        verbose=False)
+    out = dso.validate(gen, variables, config, {"train": loader},
+                       jax.random.PRNGKey(5), num_data=1)
+    psnr_db = out["train"]["color_PSNR"]
+    # calibrated on the CPU-sized config (tools/psnr probe 2026-08-17:
+    # 12.3 dB @150 it, 13.1 @600 it; broken samplers/renderers score <8 dB
+    # because the fg never aligns). Threshold sits between those regimes.
+    assert psnr_db > 11.0, f"overfit PSNR too low: {psnr_db:.2f} dB"
+
+
 def test_gan_steps_smoke(synth_root, tmp_path):
     from enarf_gan_tpu.training import gan
     config = tiny_gan_config(synth_root, str(tmp_path))

@@ -227,6 +227,17 @@ class TriNARFGenerator(nn.Module):
         """Hoist the sampling-table pack out of per-chunk/per-pass calls."""
         return self.nerf.pack_planes(planes)
 
+    def pack_planes_tiled(self, planes):
+        return self.nerf.pack_planes_tiled(planes)
+
+    def nerf_density_color_tiled(self, points, pose_scaled, bone_length_t,
+                                 tables, z_rend, n_patch, m, S,
+                                 ray_direction=None, with_stats=False):
+        return self.nerf.density_color_tiled(points, pose_scaled,
+                                             bone_length_t, tables, z_rend,
+                                             n_patch, m, S, ray_direction,
+                                             with_stats)
+
     def background(self, z_bg, z_rend, rng=None, train: bool = False):
         """(reference generator.py:101-104): style-mixed background at
         inject_index n_latent-4."""
@@ -256,24 +267,59 @@ class TriNARFGenerator(nn.Module):
         pose_t, bl_t = self.transform_pose(pose_to_camera, bone_length)
         planes = self.compute_tri_plane_feature(z_nerf, bl_t, truncation_psi,
                                                 update_w_avg=train)
-        planes_packed = self.pack_planes(planes)
-
-        def fn(points, ray_dir, pose_scaled):
-            return self.nerf_density_color(points, pose_scaled, bl_t,
-                                           planes_packed, z_rend, ray_dir)
-
-        if train:
-            # rematerialize the per-point network in the backward pass: the
-            # gathered quad rows alone are ~5 GB/image at 128² — storing them
-            # as residuals OOMs a 16 GB chip; recomputing costs ~1/3 of a
-            # forward (SURVEY §7.3: trade FLOPs for HBM via jax.checkpoint)
-            fn = jax.checkpoint(fn)
 
         # no scan while flax is creating params (init traces once, full-width)
         chunk = None if self.is_initializing() else (self.train_ray_chunk or None)
-        fg_color, fg_mask, disparity, raux = render_rays(
-            rng_fine, fn, img_coord, pose_t, inv_intrinsics, self.render_cfg(),
-            camera_pose=None, ray_chunk=chunk)
+        P = self.nerf_params.tile_patch
+        if P:
+            # patch-window fast path (ops/tilewin.py): full-image GAN rays
+            # ARE a pixel grid, so patch-major tiling applies directly
+            from enarf_gan_tpu.nerf.tiled import (render_rays_tiled,
+                                                  tile_permutation)
+            perm = jnp.asarray(tile_permutation(self.size, P))
+            tables = self.nerf.pack_planes_tiled(planes)
+
+            def fn_t(points, ray_dir, pose_scaled, n_patch, S):
+                def inner(points, ray_dir, pose_scaled):
+                    d, c, _ = self.nerf.density_color_tiled(
+                        points, pose_scaled, bl_t, tables, z_rend, n_patch,
+                        P * P, S, ray_dir)
+                    return d, c
+                if train:
+                    # remat the per-point network: window gathers as
+                    # residuals OOM a 16 GB chip (SURVEY §7.3)
+                    inner = jax.checkpoint(inner)
+                return inner(points, ray_dir, pose_scaled)
+
+            fg_color, fg_mask, disparity, raux = render_rays_tiled(
+                rng_fine, fn_t, img_coord[..., perm], pose_t, inv_intrinsics,
+                self.render_cfg(), P, camera_pose=None, ray_chunk=chunk)
+            inv = jnp.argsort(perm)
+            fg_color = fg_color[:, :, inv]
+            fg_mask = fg_mask[:, inv]
+            disparity = disparity[:, inv]
+            # per-ray aux back to raster order; fine_points stays in tiled
+            # point order (its consumers are tiled-order aware)
+            raux = {k: (v if k == "fine_points" else v[:, :, inv])
+                    for k, v in raux.items()}
+        else:
+            planes_packed = self.pack_planes(planes)
+
+            def fn(points, ray_dir, pose_scaled):
+                return self.nerf_density_color(points, pose_scaled, bl_t,
+                                               planes_packed, z_rend, ray_dir)
+
+            if train:
+                # rematerialize the per-point network in the backward pass:
+                # the gathered quad rows alone are ~5 GB/image at 128² —
+                # storing them as residuals OOMs a 16 GB chip; recomputing
+                # costs ~1/3 of a forward (SURVEY §7.3: trade FLOPs for HBM
+                # via jax.checkpoint)
+                fn = jax.checkpoint(fn)
+
+            fg_color, fg_mask, disparity, raux = render_rays(
+                rng_fine, fn, img_coord, pose_t, inv_intrinsics,
+                self.render_cfg(), camera_pose=None, ray_chunk=chunk)
         fg_color = fg_color.reshape(B, 3, self.size, self.size)
         fg_mask = fg_mask.reshape(B, self.size, self.size)
 
@@ -444,13 +490,27 @@ def gan_render_entire_img(gen: TriNARFGenerator, variables, rng, pose_to_camera,
                              method="transform_pose")
     planes = gen.apply(variables, z_nerf, bl_t, truncation_psi,
                        method="compute_tri_plane_feature")
+    cfg = gen.render_cfg()
+    rb = ray_batchsize or gen.nerf_params.render_bs
+    P = gen.nerf_params.tile_patch
+    if P:
+        from enarf_gan_tpu.nerf.tiled import render_entire_img_tiled
+        tables = gen.apply(variables, planes, method="pack_planes_tiled")
+
+        def fn_t(points, ray_dir, pose_scaled, n_patch, S):
+            d, c, _ = gen.apply(variables, points, pose_scaled, bl_t, tables,
+                                z_rend, n_patch, P * P, S, ray_dir,
+                                method="nerf_density_color_tiled")
+            return d, c
+
+        return render_entire_img_tiled(rng, fn_t, pose_t, inv_intrinsics,
+                                       cfg, render_size or gen.size, P,
+                                       ray_batchsize=rb)
     planes = gen.apply(variables, planes, method="pack_planes")
 
     def fn(points, ray_dir, pose_scaled):
         return gen.apply(variables, points, pose_scaled, bl_t, planes, z_rend,
                          ray_dir, method="nerf_density_color")
 
-    cfg = gen.render_cfg()
-    rb = ray_batchsize or gen.nerf_params.render_bs
     return render_entire_img(rng, fn, pose_t, inv_intrinsics, cfg,
                              render_size or gen.size, ray_batchsize=rb)

@@ -60,16 +60,53 @@ def render_rays_tiled(rng: jax.Array, fn: TiledDensityColorFn,
                       inv_intrinsics: jnp.ndarray, cfg: RenderConfig, P: int,
                       camera_pose: Optional[jnp.ndarray] = None,
                       pose_prescaled: bool = False,
-                      frustum=None, with_aux: bool = True):
+                      frustum=None, with_aux: bool = True,
+                      ray_chunk: Optional[int] = None):
     """Render rays already in patch-major order (m = P*P members/patch).
 
     Returns (color (B,3,n), mask (B,n), disparity (B,n), aux) like
-    nerf/rendering.py::render_rays.
+    nerf/rendering.py::render_rays. ``ray_chunk`` scans fixed-size chunks
+    of whole patches inside the graph — identical results, and the
+    DIFFERENTIABLE peak memory scales with the chunk (the scan's backward
+    replays one chunk at a time), exactly like render_rays' ray_chunk.
     """
     B, _, _, n = image_coord.shape
     m = P * P
     n_patch = n // m
     assert n_patch * m == n, (n, P)
+    if ray_chunk is not None and n > ray_chunk:
+        assert frustum is None, "precomputed frustum + ray_chunk unsupported"
+        chunk = ray_chunk - ray_chunk % m
+        assert chunk > 0 and n % chunk == 0, (n, ray_chunk, m)
+        n_chunks = n // chunk
+        if cfg.coordinate_scale != 1 and not pose_prescaled:
+            pose_to_camera = pose_to_camera.at[:, :, :3, 3] \
+                .multiply(cfg.coordinate_scale)
+        coords = image_coord.reshape(B, 1, 3, n_chunks, chunk) \
+            .transpose(3, 0, 1, 2, 4)
+        keys = jax.random.split(rng, n_chunks)
+
+        def body(carry, inp):
+            key, coord = inp
+            return carry, render_rays_tiled(
+                key, fn, coord, pose_to_camera, inv_intrinsics, cfg, P,
+                camera_pose=camera_pose, pose_prescaled=True,
+                with_aux=with_aux)
+
+        _, (color, mask, disp, aux) = lax.scan(body, None, (keys, coords))
+        color = color.transpose(1, 2, 0, 3).reshape(B, 3, n)
+        mask = mask.transpose(1, 0, 2).reshape(B, n)
+        disp = disp.transpose(1, 0, 2).reshape(B, n)
+
+        def merge(name, x):
+            if name == "fine_points":        # (C, B, 3, chunk*Nf) ray-major
+                return x.transpose(1, 2, 0, 3).reshape(B, 3, -1)
+            # (C, B, 1, chunk, S) → (B, 1, n, S)
+            return x.transpose(1, 2, 0, 3, 4).reshape(
+                B, x.shape[2], n, x.shape[4])
+
+        aux = {k: merge(k, v) for k, v in aux.items()}
+        return color, mask, disp, aux
     Nc, Nf = cfg.Nc, cfg.Nf
     if cfg.coordinate_scale != 1 and not pose_prescaled:
         pose_to_camera = pose_to_camera.at[:, :, :3, 3] \

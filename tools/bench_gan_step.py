@@ -45,6 +45,8 @@ def main():
                 "Nc": 48, "Nf": 64, "no_ray_direction": False,
                 "origin_location": "center_fixed", "coordinate_scale": 3,
                 "plane_sample_dtype": "bfloat16",
+                # patch-window fast path; GAN_TILED=0 for the exact path
+                "tile_patch": int(os.environ.get("GAN_TILED", 4)),
             }},
         "discriminator_params": {"minibatch_std": True, "channel_max": 512},
         "loss": {"adv_loss_type": "ce", "bone_guided_coef": 10,

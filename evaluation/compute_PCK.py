@@ -67,8 +67,11 @@ def main():
     parser.add_argument("--truncation", type=float, default=0.4)
     parser.add_argument("--thr", type=float, default=0.5)
     parser.add_argument("--estimator",
-                        choices=["mmpose", "projected", "stub"],
+                        choices=["mmpose", "vitpose", "projected", "stub"],
                         default="projected")
+    parser.add_argument("--vitpose_dir", type=str, default="",
+                        help="local VitPose checkpoint dir "
+                             "(--estimator vitpose)")
     args = parser.parse_args()
 
     import jax
@@ -99,6 +102,9 @@ def main():
     if args.estimator == "mmpose":
         from evaluation.pck_estimators import MMPoseEstimator
         estimator = MMPoseEstimator()
+    elif args.estimator == "vitpose":
+        from evaluation.pck_estimators import VitPoseEstimator
+        estimator = VitPoseEstimator(args.vitpose_dir)
     elif args.estimator == "stub":
         from evaluation.pck_estimators import StubEstimator
         estimator = StubEstimator(num_keypoints=pose_ds[0]["pose_2d"].shape[0])

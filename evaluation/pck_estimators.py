@@ -35,6 +35,40 @@ class StubEstimator:
         return np.stack([xs, ys], axis=1)[:, None, :] + ring[None]
 
 
+class VitPoseEstimator:
+    """ViTPose top-down keypoints via transformers, from a LOCAL checkpoint.
+
+    Alternative to the mmpose stack when mm* packages are unavailable:
+    transformers (baked into this image) ships VitPoseForPoseEstimation;
+    only the checkpoint needs to be present on disk (e.g. a local clone of
+    ``usyd-community/vitpose-base-simple``). The whole image is used as the
+    person box — ENARF renders are single-person and framed (the reference
+    protocol's mmdet detector exists to crop in-the-wild images,
+    reference evaluation/compute_PCK.py:82-93).
+    """
+
+    def __init__(self, model_dir: str):
+        import torch  # noqa: F401  (CPU torch is baked in)
+        from transformers import AutoProcessor, VitPoseForPoseEstimation
+        self._proc = AutoProcessor.from_pretrained(model_dir,
+                                                   local_files_only=True)
+        self._model = VitPoseForPoseEstimation.from_pretrained(
+            model_dir, local_files_only=True).eval()
+
+    def __call__(self, imgs: np.ndarray) -> np.ndarray:
+        """(B, 3, H, W) [-1,1] → (B, K, 2) keypoints."""
+        import torch
+        B, _, H, W = imgs.shape
+        rgb = [((img.transpose(1, 2, 0) + 1) * 127.5).astype(np.uint8)
+               for img in imgs]
+        boxes = [[[0.0, 0.0, float(W), float(H)]]] * B
+        inputs = self._proc(images=rgb, boxes=boxes, return_tensors="pt")
+        with torch.no_grad():
+            outputs = self._model(**inputs)
+        res = self._proc.post_process_pose_estimation(outputs, boxes=boxes)
+        return np.stack([r[0]["keypoints"].numpy() for r in res])
+
+
 class MMPoseEstimator:
     """mmdet person detector + mmpose top-down keypoints (reference protocol).
 

@@ -21,7 +21,9 @@ from flax import linen as nn
 from enarf_gan_tpu.geometry.encoding import scalar_positional_encoding
 from enarf_gan_tpu.geometry.pose import transform_pose, transform_canonical_pose
 from enarf_gan_tpu.models.narf import NARFParams, TriPlaneNARF, MLPNARF
-from enarf_gan_tpu.nerf.ray_sampler import (image_grid_coords, mask_based_sampler)
+from enarf_gan_tpu.nerf.ray_sampler import (image_grid_coords,
+                                            mask_based_sampler,
+                                            patch_based_sampler)
 from enarf_gan_tpu.nerf.rendering import (RenderConfig, render_rays,
                                           render_entire_img)
 from enarf_gan_tpu.nn.stylegan2 import PretrainedStyleGAN, StyleGAN2Generator
@@ -127,22 +129,43 @@ class DSONARFGenerator(nn.Module):
         Returns (color (B,3,n), mask (B,n), ray_idx (B,n), aux).
         """
         rng_rays, rng_fine = jax.random.split(rng)
-        ray_idx, img_coord = mask_based_sampler(rng_rays, mask, self.ray_batchsize)
         z = self.get_latents(frame_time, pose_to_camera)
         pose_t, bl_t = self.transform_pose(pose_to_camera, bone_length)
 
-        if self.use_triplane:
-            cond = self.pack_planes(self.compute_tri_plane_feature(z, bl_t))
+        P = self.nerf_params.tile_patch
+        if P and self.use_triplane:
+            # tilewin fast path: train on whole P×P pixel patches so member
+            # rays share depth bins and window fetches (ops/tilewin.py)
+            from enarf_gan_tpu.nerf.tiled import render_rays_tiled
+            ray_idx, img_coord = patch_based_sampler(rng_rays, mask,
+                                                     self.ray_batchsize, P)
+            tables = self.nerf.pack_planes_tiled(
+                self.compute_tri_plane_feature(z, bl_t))
+
+            def fn_t(points, ray_dir, pose_scaled, n_patch, S):
+                d, c, _ = self.nerf.density_color_tiled(
+                    points, pose_scaled, bl_t, tables, z, n_patch, P * P, S,
+                    ray_dir)
+                return d, c
+
+            color, nerf_mask, disparity, aux = render_rays_tiled(
+                rng_fine, fn_t, img_coord, pose_t, inv_intrinsics,
+                self.render_cfg(), P, camera_pose=camera_pose)
         else:
-            cond = z
+            ray_idx, img_coord = mask_based_sampler(rng_rays, mask,
+                                                    self.ray_batchsize)
+            if self.use_triplane:
+                cond = self.pack_planes(self.compute_tri_plane_feature(z, bl_t))
+            else:
+                cond = z
 
-        def fn(points, ray_dir, pose_scaled):
-            return self.nerf_density_color(points, pose_scaled, bl_t, cond, z,
-                                           ray_dir)
+            def fn(points, ray_dir, pose_scaled):
+                return self.nerf_density_color(points, pose_scaled, bl_t,
+                                               cond, z, ray_dir)
 
-        color, nerf_mask, disparity, aux = render_rays(
-            rng_fine, fn, img_coord, pose_t, inv_intrinsics, self.render_cfg(),
-            camera_pose=camera_pose)
+            color, nerf_mask, disparity, aux = render_rays(
+                rng_fine, fn, img_coord, pose_t, inv_intrinsics,
+                self.render_cfg(), camera_pose=camera_pose)
         if background is None:
             background = -1.0
         color = color + background * (1 - nerf_mask[:, None])

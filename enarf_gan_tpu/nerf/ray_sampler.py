@@ -46,6 +46,46 @@ def _maxpool2d_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
                              ((0, 0), (pad, pad), (pad, pad)))
 
 
+def patch_based_sampler(rng: jax.Array, mask: jnp.ndarray,
+                        ray_batchsize: int, P: int
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample ``ray_batchsize // P²`` whole P×P pixel patches biased to the
+    dilated foreground mask — the patch-major analog of
+    ``mask_based_sampler`` that feeds the tilewin fast path
+    (ops/tilewin.py needs member rays grouped by pixel patch).
+
+    Same dilation + noisy-top-k selection as the reference pixel sampler
+    (reference ray_sampler.py:7-39), applied at patch granularity: the
+    patch score is the max dilated-mask value over its member pixels, so
+    any patch touching the dilated foreground competes uniformly.
+
+    Returns (ray_idx (B, n) flat pixel indices in patch-major order,
+    homo_img (B, 1, 3, n)) — same contract as ``mask_based_sampler``.
+    """
+    B, h, w = mask.shape
+    assert h % P == 0 and w % P == 0, (h, w, P)
+    n_patch = ray_batchsize // (P * P)
+    assert n_patch * P * P == ray_batchsize, (ray_batchsize, P)
+    pad_size = 64  # reference ray_sampler.py:24 (kernel 129)
+    dilated = _maxpool2d_same(mask.astype(jnp.float32), pad_size * 2 + 1)
+    ps = dilated.reshape(B, h // P, P, w // P, P).max(axis=(2, 4)) \
+        .reshape(B, -1)
+    ps = ps + jax.random.uniform(rng, ps.shape, ps.dtype)
+    _, pidx = lax.top_k(ps, n_patch)                     # (B, np)
+    py, px = pidx // (w // P), pidx % (w // P)
+    dy = jnp.arange(P).reshape(1, 1, P, 1)
+    dx = jnp.arange(P).reshape(1, 1, 1, P)
+    yy = py[:, :, None, None] * P + dy                   # (B, np, P, 1)
+    xx = px[:, :, None, None] * P + dx                   # (B, np, 1, P)
+    ray_idx = (yy * w + xx).reshape(B, -1)               # (B, np*P*P)
+    x = (ray_idx % w).astype(jnp.float32)
+    y = (ray_idx // w).astype(jnp.float32)
+    rays = jnp.stack([x, y], axis=1) + 0.5               # (B, 2, n)
+    ones = jnp.ones((B, 1, ray_batchsize), rays.dtype)
+    homo = jnp.concatenate([rays, ones], axis=1).reshape(B, 1, 3, -1)
+    return ray_idx, homo
+
+
 def mask_based_sampler(rng: jax.Array, mask: jnp.ndarray, ray_batchsize: int
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample ``ray_batchsize`` pixels biased to the dilated foreground mask.

@@ -108,6 +108,70 @@ def test_gan_forward_tiled_matches_exact_and_trains():
     assert total > 0
 
 
+def test_patch_based_sampler_structure_and_bias():
+    """Selected rays come as whole P×P patches in patch-major order, and
+    patches near the foreground mask win (same dilation bias as
+    mask_based_sampler)."""
+    from enarf_gan_tpu.nerf.ray_sampler import patch_based_sampler
+    P, size, n_rays = 4, 64, 256
+    mask = jnp.zeros((2, size, size)).at[:, 8:16, 8:16].set(1.0)
+    ray_idx, homo = patch_based_sampler(jax.random.PRNGKey(0), mask,
+                                        n_rays, P)
+    assert ray_idx.shape == (2, n_rays) and homo.shape == (2, 1, 3, n_rays)
+    ri = np.asarray(ray_idx).reshape(2, n_rays // (P * P), P, P)
+    ys, xs = ri // size, ri % size
+    # each group is a contiguous P×P pixel block
+    assert (ys == ys[:, :, :, :1]).all() and (xs == xs[:, :, :1, :]).all()
+    assert (np.diff(xs, axis=3) == 1).all() and (np.diff(ys, axis=2) == 1).all()
+    assert (ys % P == np.arange(P).reshape(1, 1, P, 1)).all()
+    # dilation radius 64 covers the whole 64² image ⇒ every patch competes;
+    # shrink the scale to check bias: far-away mask on a bigger canvas
+    size2 = 256
+    mask2 = jnp.zeros((1, size2, size2)).at[:, :32, :32].set(1.0)
+    ray_idx2, _ = patch_based_sampler(jax.random.PRNGKey(1), mask2,
+                                      64 * 16, P)
+    ys2, xs2 = np.asarray(ray_idx2) // size2, np.asarray(ray_idx2) % size2
+    # all selected patches inside the dilated (radius-64) square
+    assert ys2.max() < 32 + 64 + P and xs2.max() < 32 + 64 + P
+
+
+def test_dso_train_forward_tiled():
+    """DSO training forward with tile_patch: patch sampler + tiled render;
+    finite outputs, photometric-style grads flow to the planes."""
+    import __graft_entry__ as ge
+    params = NARFParams(Nc=8, Nf=8, hidden_size=16, tri_plane_size=32,
+                        render_bs=256, coordinate_scale=3.0,
+                        view_dependent=False, origin_location="center_fixed",
+                        deformation_field=False, constant_triplane=True,
+                        time_conditional=True, pose_conditional=False,
+                        plane_sample_dtype="bfloat16", tile_patch=4)
+    gen = DSONARFGenerator(nerf_params=params, size=SIZE, num_bone=24,
+                           parent_id=tuple(int(x) for x in SMPL_PARENTS),
+                           use_triplane=True, ray_batchsize=256)
+    pose_cam, world, bl, inv_K, canonical, K = ge._tiny_scene(1, SIZE)
+    rng = jax.random.PRNGKey(0)
+    ft = jnp.array([0.5], jnp.float32)
+    mask = jnp.ones((1, SIZE, SIZE))
+    variables = gen.init(rng, rng, jnp.asarray(pose_cam),
+                         jnp.asarray(world[:, 0, :3, :3]), mask, ft,
+                         jnp.asarray(bl), jnp.asarray(inv_K))
+    variables = register_canonical_pose(variables, canonical, "center_fixed",
+                                        np.asarray(SMPL_PARENTS))
+
+    def loss(params_tree):
+        v = dict(variables, params=params_tree)
+        color, m, ray_idx, _ = gen.apply(
+            v, rng, jnp.asarray(pose_cam), jnp.asarray(world[:, 0, :3, :3]),
+            mask, ft, jnp.asarray(bl), jnp.asarray(inv_K))
+        return (color ** 2).mean() + (m ** 2).mean()
+
+    val, g = jax.jit(jax.value_and_grad(loss))(variables["params"])
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert sum(float(jnp.abs(x).sum()) for x in leaves) > 0
+
+
 def test_tiled_render_matches_exact():
     gen, variables, (pose_cam, bl, inv_K, ft) = build(tile_patch=4)
     rng = jax.random.PRNGKey(3)

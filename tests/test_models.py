@@ -211,6 +211,29 @@ def test_gan_render_entire_img():
     assert color.shape == (3, 16, 16)
 
 
+def test_gan_generator_center_head_variant():
+    """origin_location center+head: 24 bone frames (no root drop) + the
+    appended head frame drive the full generator forward (reference
+    models/generator.py:27-31 — its num_bone_param plumbing is vestigial:
+    NARFBase.__init__ accepts but never stores it, libraries/NARF/base.py:
+    11-18; the effective count comes from origin_location alone)."""
+    pose_cam, world, bl, inv_K, canonical, cam_rot = scene(B=1, size=16)
+    p = NARFParams(view_dependent=False, origin_location="center+head",
+                   **TINY)
+    gen = TriNARFGenerator(nerf_params=p, size=16, num_bone=24,
+                           parent_id=PARENTS, z_dim=8)
+    assert gen.model_num_bone == 24
+    z = jax.random.normal(KEY, (1, 8 * 4))
+    args = (KEY, jnp.array(pose_cam), jnp.array(world), jnp.array(bl), z,
+            jnp.array(inv_K))
+    variables = gen.init(KEY, *args)
+    variables = register_canonical_pose(variables, canonical, "center+head",
+                                        SMPL_PARENTS)
+    img, m, aux = gen.apply(variables, *args)
+    assert img.shape == (1, 3, 16, 16)
+    assert np.isfinite(np.array(img)).all()
+
+
 def test_pose_encoding_root_relative():
     pose_cam, *_ = scene(B=2)
     enc = np.array(pose_encoding(jnp.array(pose_cam)))

@@ -142,19 +142,7 @@ def sample_candidates_quadtable(
     gm = jnp.take(mask_table.reshape(B * Rm, 4), mrows.reshape(-1),
                   axis=0).reshape(B, 3, M, n, 4)
 
-    from enarf_gan_tpu.ops.quadcombine import fused_combine, use_fused_combine
-    if use_fused_combine() and not clamp_mask:
-        # experimental Pallas combine (ENARF_FUSED_COMBINE=1): lanes
-        # [gm(4) | wq(4)] feed one VMEM-resident kernel
-        wq8 = jnp.stack(wq, axis=-1).reshape(B, 3 * M, n, 4)
-        mw = jnp.concatenate([gm.astype(jnp.float32).reshape(B, 3 * M, n, 4),
-                              wq8], axis=-1)
-        feature, cand_wn = jax.vmap(
-            lambda a, b, v: fused_combine(a, b, v, F, clamp_mask)
-        )(g.reshape(B, 3 * M, n, 4 * F), mw, cand_valid.astype(jnp.float32))
-        return feature.transpose(0, 2, 1), cand_wn
-
-    # default XLA combine: 4 lane-slices over g in one fused pass; the wq
+    # XLA combine: 4 lane-slices over g in one fused pass; the wq
     # factors stay as four separate n-minor arrays (never stacked into a
     # 4-lane-minor layout, which measures ~10x slower on TPU — PERF.md)
     feat = sum(g[..., q * F:(q + 1) * F]

@@ -265,6 +265,63 @@ def test_aist_preprocess_to_pose_dataset(smpl_dir, tmp_path):
     assert np.isfinite(pitem["pose_to_camera"]).all()
 
 
+def test_surreal_preprocess_to_dataset(smpl_dir, tmp_path):
+    """mp4 + _segm.mat/_info.mat sidecars → SURREAL preprocess CLI →
+    VAE_cache → HumanDataset item with alpha-channel mask (reference
+    surreal/preprocess.py:18-156 image pipeline; the depth chain is
+    covered separately in test_cli.py)."""
+    import cv2
+    import scipy.io
+    H, W = 240, 320
+    clip = tmp_path / "surreal" / "run0" / "a" / "b"
+    clip.mkdir(parents=True)
+    video_path = str(clip / "clip0.mp4")
+    wr = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 5,
+                         (W, H))
+    if not wr.isOpened():
+        pytest.skip("cv2 lacks an mp4 encoder")
+    img = np.zeros((H, W, 3), np.uint8)
+    img[60:180, 120:200] = (40, 90, 210)
+    wr.write(img)
+    wr.release()
+
+    mask = np.zeros((H, W), np.uint8)
+    mask[60:180, 120:200] = 1
+    scipy.io.savemat(video_path[:-4] + "_segm.mat", {"segm_1": mask})
+    # geometry: shift target j3D lands the (axis-transformed) body mean at
+    # z=4.0 in front of the K=[[600,0,160],[0,600,120]] camera, so the
+    # spine-centered 180² crop stays inside the 320×240 frame
+    scipy.io.savemat(video_path[:-4] + "_info.mat", {
+        "gender": np.array([[1]]),                       # male
+        "pose": np.zeros((72, 1)),
+        "shape": np.zeros((2, 1)),                       # synthetic n_betas=2
+        "zrot": np.array([[0.3]]),
+        "joints3D": np.broadcast_to(
+            np.array([-4.0, 0.0, 0.0])[:, None, None], (3, 24, 1)).copy(),
+        "camLoc": np.zeros((3, 1)),
+    })
+
+    write_path = tmp_path / "surreal_out"
+    run_cli("data_preprocess/surreal/preprocess.py",
+            ["--data_path", str(tmp_path / "surreal"),
+             "--write_path", str(write_path), "--smpl_dir", smpl_dir])
+    cache_dir = write_path / "VAE_cache"
+    assert (cache_dir / "cache.npz").exists()
+    assert (cache_dir / "canonical.npy").exists()
+
+    from enarf_gan_tpu.data.datasets import HumanDataset
+    ds = HumanDataset(AttrDict({"data_root": str(cache_dir)}), size=128,
+                      num_repeat_in_epoch=1, return_mask=True)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["img"].shape == (3, 128, 128)
+    assert item["mask"].sum() > 0           # segm survived crop+resize
+    assert item["mask"].mean() < 0.9
+    assert np.isfinite(item["pose_3d"]).all()
+    # body sits in front of the camera at the engineered depth
+    assert 2.0 < item["pose_3d"][:, 2, 3].mean() < 6.0
+
+
 def test_neuralactor_preprocess_to_dataset(tmp_path):
     """avi videos + txt cams + joints_RT json → NeuralActor preprocess CLI
     → cache → SSODataset item (reference NeuralActor/preprocess.py)."""

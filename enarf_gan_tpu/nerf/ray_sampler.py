@@ -66,6 +66,10 @@ def patch_based_sampler(rng: jax.Array, mask: jnp.ndarray,
     assert h % P == 0 and w % P == 0, (h, w, P)
     n_patch = ray_batchsize // (P * P)
     assert n_patch * P * P == ray_batchsize, (ray_batchsize, P)
+    # a ray budget above the pixel count just takes every patch (small
+    # images / init traces); returned n shrinks accordingly
+    n_patch = min(n_patch, (h // P) * (w // P))
+    ray_batchsize = n_patch * P * P
     pad_size = 64  # reference ray_sampler.py:24 (kernel 129)
     dilated = _maxpool2d_same(mask.astype(jnp.float32), pad_size * 2 + 1)
     ps = dilated.reshape(B, h // P, P, w // P, P).max(axis=(2, 4)) \

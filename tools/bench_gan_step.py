@@ -27,9 +27,8 @@ def main():
 
     bs = int(os.environ.get("GAN_BS", 4))
     size = int(os.environ.get("GAN_SIZE", 128))
-    root = "/tmp/gan_bench_synth"
+    root = f"/tmp/gan_bench_synth_{size}"
     if not os.path.exists(os.path.join(root, "cache.npz")):
-        os.environ_backup = dict(os.environ)
         make_synthetic_human_cache(root, size=size, n_frames=max(bs, 4),
                                    n_camera=2)
     config = AttrDict({
@@ -41,8 +40,13 @@ def main():
             "use_triplane": True, "crop_background": True,
             "pretrained_background": False, "channel_max": 512,
             "nerf_params": {
-                "w_dim": 512, "tri_plane_size": 256, "hidden_size": 256,
-                "Nc": 48, "Nf": 64, "no_ray_direction": False,
+                # GAN_PLANES/GAN_NC/GAN_NF shrink the graph for CPU smokes
+                "w_dim": 512,
+                "tri_plane_size": int(os.environ.get("GAN_PLANES", 256)),
+                "hidden_size": 256,
+                "Nc": int(os.environ.get("GAN_NC", 48)),
+                "Nf": int(os.environ.get("GAN_NF", 64)),
+                "no_ray_direction": False,
                 "origin_location": "center_fixed", "coordinate_scale": 3,
                 "plane_sample_dtype": "bfloat16",
                 # patch-window fast path; GAN_TILED=0 for the exact path

@@ -210,6 +210,7 @@ def render_entire_img_tiled(rng: jax.Array, fn: TiledDensityColorFn,
     _, img_coord = image_grid_coords(size, size, 1)
     img_coord = img_coord[..., perm]                  # patch-major rays
     n = size * size
+    n_patch_total = n // m
 
     if cfg.coordinate_scale != 1:
         pose_to_camera = pose_to_camera.at[:, :, :3, 3] \
@@ -220,22 +221,61 @@ def render_entire_img_tiled(rng: jax.Array, fn: TiledDensityColorFn,
     n_chunks = (n + chunk - 1) // chunk
     assert n % chunk == 0, (n, chunk)
 
-    coords = img_coord.reshape(1, 1, 3, n_chunks, chunk).transpose(3, 0, 1, 2, 4)
+    # Frame-level frustum probe once + PATCH-level compaction: process
+    # patches with any valid ray first and lax.cond-skip all-invalid
+    # chunks (the tiled analog of render_entire_img's valid-first ray
+    # ordering, rendering.py:331-391 — real frames are mostly background)
+    frustum = decide_frustum_range(img_coord, pose_to_camera, inv_intrinsics,
+                                   cfg.near_plane, cfg.far_plane)
+    patch_valid = frustum[3].reshape(n_patch_total, m).any(axis=1)
+    p_order = jnp.argsort(jnp.logical_not(patch_valid), stable=True)
+    ray_order = (p_order[:, None] * m
+                 + jnp.arange(m, dtype=p_order.dtype)).reshape(-1)
+    inv_order = jnp.argsort(ray_order)
+
+    def permute(x, axis):
+        return jnp.take(x, ray_order, axis=axis)
+
+    coords_s = permute(img_coord, 3) \
+        .reshape(1, 1, 3, n_chunks, chunk).transpose(3, 0, 1, 2, 4)
+    fr_chunks = (
+        permute(frustum[0], 3).reshape(1, 1, 1, n_chunks, chunk)
+        .transpose(3, 0, 1, 2, 4),
+        permute(frustum[1], 3).reshape(1, 1, 1, n_chunks, chunk)
+        .transpose(3, 0, 1, 2, 4),
+        permute(frustum[2], 2).reshape(1, 3, n_chunks, chunk)
+        .transpose(2, 0, 1, 3),
+        permute(frustum[3], 3).reshape(1, 1, 1, n_chunks, chunk)
+        .transpose(3, 0, 1, 2, 4),
+    )
+    has_valid = fr_chunks[3].reshape(n_chunks, -1).any(axis=1)
     keys = jax.random.split(rng, n_chunks)
 
     def body(carry, inp):
-        key, coord = inp
-        color, mask, disp, _ = render_rays_tiled(
-            key, fn, coord, pose_to_camera, inv_intrinsics, cfg, P,
-            camera_pose=camera_pose, pose_prescaled=True, with_aux=False)
-        return carry, (color, mask, disp)
+        key, coord, fr0, fr1, fr2, fr3, hv = inp
 
-    _, (color, mask, disp) = lax.scan(body, None, (keys, coords))
+        def do_render(_):
+            color, mask, disp, _ = render_rays_tiled(
+                key, fn, coord, pose_to_camera, inv_intrinsics, cfg, P,
+                camera_pose=camera_pose, pose_prescaled=True,
+                frustum=(fr0, fr1, fr2, fr3), with_aux=False)
+            return color, mask, disp
+
+        def skip(_):
+            return (jnp.zeros((1, 3, chunk), jnp.float32),
+                    jnp.zeros((1, chunk), jnp.float32),
+                    jnp.zeros((1, chunk), jnp.float32))
+
+        return carry, lax.cond(hv, do_render, skip, None)
+
+    _, (color, mask, disp) = lax.scan(
+        body, None, (keys, coords_s) + fr_chunks + (has_valid,))
     color = color.transpose(1, 2, 0, 3).reshape(3, n)
     mask = mask.transpose(1, 0, 2).reshape(n)
     disp = disp.transpose(1, 0, 2).reshape(n)
 
-    inv = jnp.argsort(perm)
+    # undo patch-validity ordering, then the tile permutation
+    inv = jnp.take(inv_order, jnp.argsort(perm))
     return (color[:, inv].reshape(3, size, size),
             mask[inv].reshape(size, size),
             disp[inv].reshape(size, size))

@@ -96,11 +96,14 @@ def test_dso_overfit_smoke(synth_root, tmp_path):
                                        "snapshot_latest.msgpack"))
 
 
-def test_dso_overfit_psnr(synth_root, tmp_path):
+@pytest.mark.parametrize("tile_patch", [0, 4])
+def test_dso_overfit_psnr(synth_root, tmp_path, tile_patch):
     """Metric-level acceptance: overfitting ONE frame must reach a real
     reconstruction PSNR, not just a decreasing loss (VERDICT: sampler or
     renderer regressions must show as metric drops; reference bar is the
-    PSNR/SSIM validation loop, train_DSO.py:75-170)."""
+    PSNR/SSIM validation loop, train_DSO.py:75-170). Runs for both the
+    exact per-member sampler and the tilewin patch-window fast path
+    (training + validation both ride the configured sampler)."""
     from enarf_gan_tpu.training import dso
     config = tiny_dso_config(synth_root, str(tmp_path))
     config.dataset.bs = 1
@@ -108,6 +111,9 @@ def test_dso_overfit_psnr(synth_root, tmp_path):
     config.generator_params.ray_batchsize = 512
     config.num_iter = 200
     config.lr = 0.02
+    if tile_patch:
+        config.generator_params.nerf_params.tile_patch = tile_patch
+        config.generator_params.nerf_params.plane_sample_dtype = "bfloat16"
     train_ds = SSODataset(config.dataset.train, size=32,
                           return_bone_params=True, return_mask=True,
                           num_repeat_in_epoch=200)

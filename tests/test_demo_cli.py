@@ -109,6 +109,68 @@ def test_dso_demo_cli(synth, sample_data, tmp_path):
         _png_ok(f"{out_dir}/samples/{idx:0>4}.png")
 
 
+def test_dso_demo_cli_tiled(synth, sample_data, tmp_path):
+    """Same train->demo chain through the tilewin fast path (the *_tpu.yml
+    config family: plane_sample_dtype bfloat16 + tile_patch)."""
+    default = tmp_path / "default.yml"
+    default.write_text(textwrap.dedent(f"""
+        out_root: {tmp_path}/out
+        out: demo_dso_tiled
+        sample_path: {sample_data}
+        canonical_pose_path: {synth}/canonical.npy
+        dataset:
+          bs: 1
+          image_size: 32
+          bg_color: -1
+          train:
+            data_root: {synth}
+            n_frames: 2
+          val:
+            novel_pose:
+              data_root: {synth}
+              n_frames: 2
+        generator_params:
+          use_triplane: True
+          ray_batchsize: 64
+          nerf_params:
+            w_dim: 32
+            tri_plane_size: 16
+            hidden_size: 16
+            Nc: 4
+            Nf: 4
+            no_ray_direction: True
+            origin_location: center_fixed
+            coordinate_scale: 3
+            render_bs: 256
+            constant_triplane: True
+            time_conditional: True
+            pose_conditional: False
+            plane_sample_dtype: bfloat16
+            tile_patch: 4
+        loss:
+          color_coef: 1
+          mask_coef: 1
+          nerf_loss_type: mse
+        num_iter: 100000
+        lr: 0.01
+        scheduler_gamma: 0.99995
+        val_interval: 1000
+        print_interval: 100
+        tensorboard_interval: 1000
+        save_interval: 2
+        resume:
+    """))
+    run_cli("train_DSO.py", ["--config", str(default),
+                             "--default_config", str(default),
+                             "--iterations", "3"])
+    out_dir = f"{tmp_path}/out/result/demo_dso_tiled"
+    run_cli("DSO_demo.py", ["--config", str(default),
+                            "--default_config", str(default),
+                            "--render_bs", "256"])
+    for idx in range(2):
+        _png_ok(f"{out_dir}/samples/{idx:0>4}.png")
+
+
 @pytest.fixture(scope="module")
 def gan_run(synth, sample_data, tmp_path_factory):
     """Train the tiny GAN config 2 iters → (config path, out_dir)."""

@@ -102,6 +102,7 @@ def mask_based_sampler(rng: jax.Array, mask: jnp.ndarray, ray_batchsize: int
         (ray_idx (B, n) flat pixel indices, homo_img (B, 1, 3, n)).
     """
     B, h, w = mask.shape
+    ray_batchsize = min(ray_batchsize, h * w)  # small images take every ray
     pad_size = 64  # reference ray_sampler.py:24 (kernel 129)
     dilated = _maxpool2d_same(mask.astype(jnp.float32), pad_size * 2 + 1)
     scores = dilated.reshape(B, h * w)

@@ -78,8 +78,8 @@ def make_inception_extractor(weights_npz: Optional[str] = None,
     comparable with the standard weights, so no silent fallback.
     """
     weights_npz = weights_npz or os.environ.get("INCEPTION_WEIGHTS_NPZ", "")
-    if weights_npz and (os.path.exists(weights_npz)
-                        or weights_npz.startswith("random")):
+    is_random = weights_npz == "random" or weights_npz.startswith("random:")
+    if weights_npz and (os.path.exists(weights_npz) or is_random):
         # "random"/"random:<seed>" = seeded He-init weight set: the full
         # 2048-d InceptionV3 graph with deterministic random filters —
         # self-consistent pipeline-validation FID for offline boxes where

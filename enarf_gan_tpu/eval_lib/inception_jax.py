@@ -227,7 +227,7 @@ def make_extractor(weights_npz: str, batch_size: int = 64):
     seeded He-init weight set (``random_weights``) — pipeline-validation
     FID only, not comparable to published numbers.
     """
-    if weights_npz.startswith("random"):
+    if weights_npz == "random" or weights_npz.startswith("random:"):
         seed = int(weights_npz.split(":", 1)[1]) if ":" in weights_npz else 0
         raw = random_weights(seed).items()
     else:

@@ -20,7 +20,8 @@ from flax import linen as nn
 
 from enarf_gan_tpu.geometry.encoding import scalar_positional_encoding
 from enarf_gan_tpu.geometry.pose import transform_pose, transform_canonical_pose
-from enarf_gan_tpu.models.narf import NARFParams, TriPlaneNARF, MLPNARF
+from enarf_gan_tpu.models.narf import (NARFParams, TriPlaneNARF, MLPNARF,
+                                       params_use_candidate_sampling)
 from enarf_gan_tpu.nerf.ray_sampler import (image_grid_coords,
                                             mask_based_sampler,
                                             patch_based_sampler)
@@ -133,7 +134,7 @@ class DSONARFGenerator(nn.Module):
         pose_t, bl_t = self.transform_pose(pose_to_camera, bone_length)
 
         P = self.nerf_params.tile_patch
-        if P and self.use_triplane:
+        if self.use_triplane and self.nerf.supports_tiled_sampling():
             # tilewin fast path: train on whole P×P pixel patches so member
             # rays share depth bins and window fetches (ops/tilewin.py)
             from enarf_gan_tpu.nerf.tiled import render_rays_tiled
@@ -294,7 +295,7 @@ class TriNARFGenerator(nn.Module):
         # no scan while flax is creating params (init traces once, full-width)
         chunk = None if self.is_initializing() else (self.train_ray_chunk or None)
         P = self.nerf_params.tile_patch
-        if P:
+        if self.nerf.supports_tiled_sampling():
             # patch-window fast path (ops/tilewin.py): full-image GAN rays
             # ARE a pixel grid, so patch-major tiling applies directly
             from enarf_gan_tpu.nerf.tiled import (render_rays_tiled,
@@ -472,7 +473,10 @@ def make_dso_full_renderer(gen: DSONARFGenerator, render_size: int,
     @functools.partial(jax.jit, static_argnames=())
     def render(variables, rng, pose_to_camera, inv_intrinsics, frame_time,
                bone_length, camera_pose=None):
-        if gen.nerf_params.tile_patch and not use_normalized_intrinsics:
+        if (gen.use_triplane and not use_normalized_intrinsics
+                and gen.nerf_params.tile_patch
+                and params_use_candidate_sampling(gen.nerf_params,
+                                                  gen.model_num_bone)):
             return dso_render_entire_img_tiled(
                 gen, variables, rng, pose_to_camera, inv_intrinsics,
                 frame_time, bone_length, camera_pose=camera_pose,
@@ -516,7 +520,8 @@ def gan_render_entire_img(gen: TriNARFGenerator, variables, rng, pose_to_camera,
     cfg = gen.render_cfg()
     rb = ray_batchsize or gen.nerf_params.render_bs
     P = gen.nerf_params.tile_patch
-    if P:
+    if P and params_use_candidate_sampling(gen.nerf_params,
+                                           gen.model_num_bone):
         from enarf_gan_tpu.nerf.tiled import render_entire_img_tiled
         tables = gen.apply(variables, planes, method="pack_planes_tiled")
 

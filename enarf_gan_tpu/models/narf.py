@@ -38,6 +38,14 @@ from enarf_gan_tpu.ops.triplane import (
     sample_triplane_part_prob, sample_weighted_feature)
 
 
+def params_use_candidate_sampling(params: "NARFParams",
+                                  model_num_bone: int) -> bool:
+    """True iff the candidate-sparse tri-plane-mask path drives part
+    weighting (the default; selector variants bypass it)."""
+    return (params.max_bones_per_point < model_num_bone
+            and not params.no_selector and not params.selector_mlp)
+
+
 def _sampler_kind() -> str:
     """Which candidate-sparse tri-plane sampler drives the hot path.
 
@@ -321,9 +329,14 @@ class TriPlaneNARF(nn.Module):
                 else jnp.float32)
 
     def uses_candidate_sampling(self) -> bool:
-        p = self.params
-        return (p.max_bones_per_point < self.num_bone and not p.no_selector
-                and not p.selector_mlp)
+        return params_use_candidate_sampling(self.params, self.num_bone)
+
+    def supports_tiled_sampling(self) -> bool:
+        """tile_patch only accelerates the candidate-sparse tri-plane-mask
+        path; selector variants (no_selector / selector_mlp) fall back to
+        the exact renderer (they have no per-bone mask planes to window)."""
+        return (self.params.tile_patch > 0
+                and self.uses_candidate_sampling())
 
     def _effective_sampler(self) -> str:
         kind = _sampler_kind()
@@ -471,6 +484,10 @@ class TriPlaneNARF(nn.Module):
     def pack_planes_tiled(self, tri_plane_feature):
         """Pack planes into the patch-window tables (ops/tilewin.py)."""
         from enarf_gan_tpu.ops.tilewin import pack_tilewin
+        assert self.uses_candidate_sampling(), \
+            "tile_patch requires the candidate-sparse tri-plane-mask path " \
+            "(incompatible with no_selector / selector_mlp / " \
+            "max_bones_per_point >= num_bone)"
         return pack_tilewin(tri_plane_feature, self.params.feat_dim,
                             self.num_bone)
 

@@ -64,10 +64,11 @@ def patch_based_sampler(rng: jax.Array, mask: jnp.ndarray,
     """
     B, h, w = mask.shape
     assert h % P == 0 and w % P == 0, (h, w, P)
-    n_patch = ray_batchsize // (P * P)
-    assert n_patch * P * P == ray_batchsize, (ray_batchsize, P)
-    # a ray budget above the pixel count just takes every patch (small
-    # images / init traces); returned n shrinks accordingly
+    # whole patches only: budgets round DOWN to a patch multiple (min one
+    # patch) and are capped at the image's patch count (small images / init
+    # traces); the returned ray count is n_patch * P² — callers consume
+    # whatever n comes back (ray_idx-driven losses are count-agnostic)
+    n_patch = max(ray_batchsize // (P * P), 1)
     n_patch = min(n_patch, (h // P) * (w // P))
     ray_batchsize = n_patch * P * P
     pad_size = 64  # reference ray_sampler.py:24 (kernel 129)

@@ -211,15 +211,19 @@ def render_entire_img_tiled(rng: jax.Array, fn: TiledDensityColorFn,
     img_coord = img_coord[..., perm]                  # patch-major rays
     n = size * size
     n_patch_total = n // m
+    pose_to_camera = pose_to_camera[:1]               # batch-1 renderer
+    inv_intrinsics = inv_intrinsics[:1] if inv_intrinsics.ndim == 3 \
+        else inv_intrinsics
+    if camera_pose is not None:
+        camera_pose = camera_pose[:1]
 
     if cfg.coordinate_scale != 1:
         pose_to_camera = pose_to_camera.at[:, :, :3, 3] \
             .multiply(cfg.coordinate_scale)
 
-    chunk = min(ray_batchsize, n)
-    chunk -= chunk % m
-    n_chunks = (n + chunk - 1) // chunk
-    assert n % chunk == 0, (n, chunk)
+    chunk = max(min(ray_batchsize, n) // m, 1) * m
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n                        # whole-patch padding
 
     # Frame-level frustum probe once + PATCH-level compaction: process
     # patches with any valid ray first and lax.cond-skip all-invalid
@@ -234,7 +238,14 @@ def render_entire_img_tiled(rng: jax.Array, fn: TiledDensityColorFn,
     inv_order = jnp.argsort(ray_order)
 
     def permute(x, axis):
-        return jnp.take(x, ray_order, axis=axis)
+        """Valid-first patch order + zero-pad to whole chunks (padded rays
+        have validity False, so their chunks are cond-skipped)."""
+        x = jnp.take(x, ray_order, axis=axis)
+        if pad:
+            widths = [(0, 0)] * x.ndim
+            widths[axis] = (0, pad)
+            x = jnp.pad(x, widths)
+        return x
 
     coords_s = permute(img_coord, 3) \
         .reshape(1, 1, 3, n_chunks, chunk).transpose(3, 0, 1, 2, 4)
@@ -270,9 +281,9 @@ def render_entire_img_tiled(rng: jax.Array, fn: TiledDensityColorFn,
 
     _, (color, mask, disp) = lax.scan(
         body, None, (keys, coords_s) + fr_chunks + (has_valid,))
-    color = color.transpose(1, 2, 0, 3).reshape(3, n)
-    mask = mask.transpose(1, 0, 2).reshape(n)
-    disp = disp.transpose(1, 0, 2).reshape(n)
+    color = color.transpose(1, 2, 0, 3).reshape(3, -1)[:, :n]
+    mask = mask.transpose(1, 0, 2).reshape(-1)[:n]
+    disp = disp.transpose(1, 0, 2).reshape(-1)[:n]
 
     # undo patch-validity ordering, then the tile permutation
     inv = jnp.take(inv_order, jnp.argsort(perm))

@@ -50,18 +50,26 @@ def pack_quadtable(tri_plane_feature: jnp.ndarray, feat_dim: int,
     B, C3, H, W = tri_plane_feature.shape
     F, K = feat_dim, num_bone
     assert C3 == (F + K) * 3, (C3, F, K)
-
-    def quad(ch):  # (B, P, H, W, C) → (B, P*(H+1)*(W+1), 4C)
-        P = jnp.pad(ch, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
-        q = jnp.concatenate(
-            [P[:, :, :H + 1, :W + 1], P[:, :, :H + 1, 1:],
-             P[:, :, 1:, :W + 1], P[:, :, 1:, 1:]], axis=-1)
-        return q.reshape(B, -1, q.shape[-1])
-
     feat = tri_plane_feature[:, :F * 3].reshape(B, 3, F, H, W) \
         .transpose(0, 1, 3, 4, 2)                       # (B,3,H,W,F)
     mask = tri_plane_feature[:, F * 3:].reshape(B, K * 3, H, W)[..., None]
-    return (quad(feat).astype(dtype), quad(mask).astype(dtype))
+    return (quad_pack_corners(feat).reshape(B, -1, 4 * F).astype(dtype),
+            quad_pack_corners(mask).reshape(B, -1, 4).astype(dtype))
+
+
+def quad_pack_corners(ch: jnp.ndarray) -> jnp.ndarray:
+    """(B, P, H, W, C) planes → (B, P, (H+1)*(W+1), 4C) quad rows [A|B|C|D].
+
+    Row (t, s) holds the 2×2 bilinear texel quad of the 1-texel zero-padded
+    plane (grid_sample zero-padding semantics). Shared by the quadtable and
+    unirow packers so the quad layout can never desynchronize between them.
+    """
+    B, Pax, H, W, _ = ch.shape
+    P = jnp.pad(ch, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    q = jnp.concatenate(
+        [P[:, :, :H + 1, :W + 1], P[:, :, :H + 1, 1:],
+         P[:, :, 1:, :W + 1], P[:, :, 1:, 1:]], axis=-1)
+    return q.reshape(B, Pax, (H + 1) * (W + 1), q.shape[-1])
 
 
 def _quad_cells_weights(cp: jnp.ndarray, H: int, W: int):

@@ -66,24 +66,18 @@ def pack_unirow(tri_plane_feature: jnp.ndarray, feat_dim: int,
     follows the model: F*3 feature planes then K*3 per-bone mask planes
     (reference models/narf.py:71).
     """
+    from enarf_gan_tpu.ops.quadtable import quad_pack_corners
     B, C3, H, W = tri_plane_feature.shape
     F, K = feat_dim, num_bone
     assert C3 == (F + K) * 3, (C3, F, K)
     assert K <= MASK_BLOCK, K
 
-    def quad(ch):  # (B, 3, H, W, C) → (B, 3, (H+1)*(W+1), 4C) [A|B|C|D]
-        P = jnp.pad(ch, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
-        q = jnp.concatenate(
-            [P[:, :, :H + 1, :W + 1], P[:, :, :H + 1, 1:],
-             P[:, :, 1:, :W + 1], P[:, :, 1:, 1:]], axis=-1)
-        return q.reshape(B, 3, (H + 1) * (W + 1), q.shape[-1])
-
     feat = tri_plane_feature[:, :F * 3].reshape(B, 3, F, H, W) \
         .transpose(0, 1, 3, 4, 2)                              # (B,3,H,W,F)
     mask = tri_plane_feature[:, F * 3:].reshape(B, K, 3, H, W) \
         .transpose(0, 2, 3, 4, 1)                              # (B,3,H,W,K)
-    fq = quad(feat)                                            # (…, 4F)
-    mq = quad(mask).reshape(B, 3, -1, 4, K)
+    fq = quad_pack_corners(feat)                               # (…, 4F)
+    mq = quad_pack_corners(mask).reshape(B, 3, -1, 4, K)
     mq = jnp.pad(mq, ((0, 0),) * 3 + ((0, 0), (0, MASK_BLOCK - K)))
     mq = mq.reshape(B, 3, fq.shape[2], 4 * MASK_BLOCK)
     table = jnp.concatenate([fq, mq], axis=-1).astype(jnp.bfloat16)

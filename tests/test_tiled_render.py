@@ -172,6 +172,43 @@ def test_dso_train_forward_tiled():
     assert sum(float(jnp.abs(x).sum()) for x in leaves) > 0
 
 
+def test_tile_patch_falls_back_for_selector_variants():
+    """tile_patch with a selector variant (no per-bone mask planes to
+    window) must fall back to the exact path, not crash or silently apply
+    candidate selection the config disabled."""
+    import __graft_entry__ as ge
+    params = NARFParams(Nc=4, Nf=4, hidden_size=16, tri_plane_size=16,
+                        render_bs=SIZE * SIZE, coordinate_scale=3.0,
+                        view_dependent=False, origin_location="center_fixed",
+                        constant_triplane=True, time_conditional=True,
+                        pose_conditional=False, no_selector=True,
+                        plane_sample_dtype="bfloat16", tile_patch=4)
+    gen = DSONARFGenerator(nerf_params=params, size=SIZE, num_bone=24,
+                           parent_id=tuple(int(x) for x in SMPL_PARENTS),
+                           use_triplane=True, ray_batchsize=64)
+    pose_cam, world, bl, inv_K, canonical, K = ge._tiny_scene(1, SIZE)
+    rng = jax.random.PRNGKey(0)
+    ft = jnp.array([0.5], jnp.float32)
+    mask = jnp.ones((1, SIZE, SIZE))
+    variables = gen.init(rng, rng, jnp.asarray(pose_cam),
+                         jnp.asarray(world[:, 0, :3, :3]), mask, ft,
+                         jnp.asarray(bl), jnp.asarray(inv_K))
+    variables = register_canonical_pose(variables, canonical, "center_fixed",
+                                        np.asarray(SMPL_PARENTS))
+    color, m, ray_idx, _ = gen.apply(
+        variables, rng, jnp.asarray(pose_cam),
+        jnp.asarray(world[:, 0, :3, :3]), mask, ft, jnp.asarray(bl),
+        jnp.asarray(inv_K))
+    assert np.isfinite(np.asarray(color)).all()
+    # full renderer falls back too (would assert in pack_planes_tiled)
+    from enarf_gan_tpu.models.generator import make_dso_full_renderer
+    render = make_dso_full_renderer(gen, SIZE, ray_batchsize=SIZE * SIZE,
+                                    with_camera_pose=False)
+    c, mm, dd = render(variables, rng, jnp.asarray(pose_cam),
+                       jnp.asarray(inv_K), ft, jnp.asarray(bl))
+    assert np.isfinite(np.asarray(c)).all()
+
+
 def test_tiled_render_matches_exact():
     gen, variables, (pose_cam, bl, inv_K, ft) = build(tile_patch=4)
     rng = jax.random.PRNGKey(3)

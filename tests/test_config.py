@@ -56,3 +56,21 @@ def test_reference_configs_load():
     assert cfg.generator_params.use_triplane is True
     assert cfg.generator_params.nerf_params.origin_location == "center_fixed"
     assert cfg.loss.r1_loss_coef == 10
+
+
+def test_every_shipped_config_loads():
+    """All configs/ trees (incl. the *_tpu.yml variants) merge over their
+    family default and expose NARFParams-parseable nerf_params."""
+    import glob
+    from enarf_gan_tpu.models.narf import NARFParams
+    for family in ("DSO_train", "DSO_demo", "enarfgan_train", "enarfgan_demo"):
+        default = f"configs/{family}/default.yml"
+        for path in sorted(glob.glob(f"configs/{family}/*/*.yml")):
+            cfg = yaml_config(path, default)
+            assert cfg.generator_params is not None, path
+            np_cfg = cfg.generator_params.nerf_params
+            params = NARFParams.from_config(np_cfg)
+            assert params.Nc > 0 and params.tri_plane_size > 0, path
+            if path.endswith("_tpu.yml"):
+                assert params.tile_patch == 4, path
+                assert params.plane_sample_dtype == "bfloat16", path

@@ -45,8 +45,18 @@ SUB = 16           # sublanes per packed feature-window tile
 LANE = 128
 
 
+def _flat_rows() -> bool:
+    """ENARF_TILEWIN_FLAT=1 packs feature windows as flat (R, ceil(49F/128)
+    *128) rows instead of (R, 16, 128) tiles — 19% fewer bytes per fetch at
+    F=32 (1664 vs 2048 lanes). Env-gated pending an on-chip A/B (PERF.md
+    experiment matrix #3); both layouts are bit-identical in output."""
+    import os
+    return os.environ.get("ENARF_TILEWIN_FLAT") == "1"
+
+
 class TilewinTables(NamedTuple):
-    feat: jnp.ndarray    # (B*3*nb*nb, SUB, LANE) bf16
+    feat: jnp.ndarray    # (B*3*nb*nb, SUB, LANE) bf16; flat (R, W) rows
+                         # under ENARF_TILEWIN_FLAT=1
     mask: jnp.ndarray    # (B*K*3*nb*nb, 64) bf16
     nb: int              # window bases per plane dim
     feat_dim: int
@@ -99,9 +109,13 @@ def pack_tilewin(tri_plane_feature: jnp.ndarray, feat_dim: int,
 
     fw = windows(pf, True)              # (B, 3, nb, nb, 49, F)
     fw = fw.reshape(B * 3 * nb * nb, WIN * WIN * F).astype(jnp.bfloat16)
-    pad = SUB * LANE - WIN * WIN * F
+    width = (-(-WIN * WIN * F // LANE) * LANE if _flat_rows()
+             else SUB * LANE)
+    pad = width - WIN * WIN * F
     assert pad >= 0, (WIN, F)
-    fw = jnp.pad(fw, ((0, 0), (0, pad))).reshape(-1, SUB, LANE)
+    fw = jnp.pad(fw, ((0, 0), (0, pad)))
+    if not _flat_rows():
+        fw = fw.reshape(-1, SUB, LANE)
 
     mw = windows(pm, False)             # (B, K, 3, nb, nb, 49)
     mw = mw.reshape(B * K * 3 * nb * nb, WIN * WIN).astype(jnp.bfloat16)
@@ -238,7 +252,7 @@ def sample_tilewin(tables: TilewinTables, cand_pos: jnp.ndarray,
     bi, bj = bt // STRIDE, bs // STRIDE
     frows = ((batch * 3 + plane) * nb + bi) * nb + bj   # (B,3,Mp,np,S)
     g = jnp.take(tables.feat, frows.reshape(-1), axis=0)
-    g = g.reshape(B, 3, Mp, n_patch, S, SUB * LANE)[..., :WIN * WIN * F]
+    g = g.reshape(B, 3, Mp, n_patch, S, -1)[..., :WIN * WIN * F]
     g = g.reshape(B, 3, Mp, n_patch, S, WIN * WIN, F)
 
     # mask window rows: ((b*K + k)*3 + p)*nb² + bi*nb + bj

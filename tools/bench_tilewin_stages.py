@@ -75,9 +75,11 @@ def main():
                                      n_groups).astype(np.int32))
     gather = jax.jit(lambda t, r: jnp.take(t, r, axis=0).sum(
         dtype=jnp.float32))
+    row_bytes = tables.feat.size * 2 // tables.feat.shape[0]
     dt = timeit("gather", lambda: gather(tables.feat, frows), REPS)
     print(f"#   -> {n_groups / dt / 1e3:.1f} Mwin/s, "
-          f"{n_groups * tables.feat.shape[1] * tables.feat.shape[2] * 2 / dt / 1e6:.0f} GB/s")
+          f"{n_groups * row_bytes / dt / 1e6:.0f} GB/s "
+          f"({row_bytes} B/row)")
 
     def _sample(feat, mask, p, i, v):
         t = tilewin.TilewinTables(feat, mask, tables.nb, F, K, TS)

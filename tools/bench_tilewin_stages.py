@@ -63,7 +63,10 @@ def main():
     valid = jnp.asarray(rng.random((B, MP, NP, M_MEM, S)) > 0.2)
 
     tables = tilewin.pack_tilewin(planes, F, K)  # eager: keeps nb/F/K static
-    pack = jax.jit(lambda p: tilewin.pack_tilewin(p, F, K).feat)
+    # scalar-reduce the pack output on device: fetching the ~190 MB table
+    # over the axon tunnel stalls (and has crashed) the TPU worker
+    pack = jax.jit(lambda p: tilewin.pack_tilewin(p, F, K).feat
+                   .astype(jnp.float32).sum())
     n_groups = B * 3 * MP * NP * S
     print(f"# {n_groups/1e6:.2f} M window groups/chunk, table "
           f"{tables.feat.size * 2 / 2**20:.0f}+"

@@ -66,26 +66,34 @@ def _build(tile_patch, render_size, ray_chunk, Nc, Nf):
 
 def _time_variant(tile_patch, render_size, ray_chunk, Nc, Nf, reps):
     """(s/frame, compile_s) for one sampler formulation; hard host-fetch
-    sync — block_until_ready does not reliably fence on remote runtimes."""
+    sync — block_until_ready does not reliably fence on remote runtimes.
+    The render is scalar-reduced ON DEVICE (color+mask+disparity checksum)
+    so the sync fetches 4 bytes, not the ~800 KB frame over the tunnel."""
     import jax
+    import jax.numpy as jnp
     renderer, (variables, pose_cam, inv_K, ft, bl) = _build(
         tile_patch, render_size, ray_chunk, Nc, Nf)
 
+    @jax.jit
+    def render_scalar(v, key, pc, ik, t, b):
+        out = renderer(v, key, pc, ik, t, b)
+        return sum(jnp.sum(o.astype(jnp.float32))
+                   for o in jax.tree_util.tree_leaves(out))
+
     def render_once(seed):
-        return renderer(variables, jax.random.PRNGKey(seed), pose_cam, inv_K,
-                        ft, bl)
+        return float(np.asarray(render_scalar(
+            variables, jax.random.PRNGKey(seed), pose_cam, inv_K, ft, bl)))
 
     t_compile = time.perf_counter()
-    out = render_once(0)
-    _ = np.asarray(out[0]).ravel()[0]
+    chk = render_once(0)
     compile_s = time.perf_counter() - t_compile
+    assert np.isfinite(chk), chk
     name = f"tilewin{tile_patch}" if tile_patch else "exact"
     print(f"# {name}: compile+first render {compile_s:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(reps):
-        out = render_once(i + 1)
-        _ = np.asarray(out[0]).ravel()[0]
+        render_once(i + 1)
     dt = (time.perf_counter() - t0) / reps
     print(f"# {name}: {dt * 1e3:.1f} ms/frame", file=sys.stderr)
     return dt, compile_s

@@ -503,7 +503,9 @@ class TriPlaneNARF(nn.Module):
         order ((patch*m + member)*S + sample); see nerf/tiled.py.
         """
         from enarf_gan_tpu.ops.tilewin import (select_patch_slots,
-                                               sample_tilewin)
+                                               sample_tilewin,
+                                               sample_tilewin_fused,
+                                               fused_combine_enabled)
         p = self.params
         bs, _, n = position.shape
         local, canonical = self.to_local_and_canonical(
@@ -512,8 +514,13 @@ class TriPlaneNARF(nn.Module):
         validity = validity & (jnp.abs(canonical) < 1).all(axis=2)
         slot_idx, cand_pos, cand_valid = select_patch_slots(
             canonical, validity, n_patch, m, S, p.max_bones_per_point)
-        out = sample_tilewin(tables, cand_pos, slot_idx, cand_valid,
-                             clamp_mask=p.clamp_mask, with_stats=with_stats)
+        if fused_combine_enabled() and not with_stats and m == 16:
+            out = sample_tilewin_fused(tables, cand_pos, slot_idx,
+                                       cand_valid, clamp_mask=p.clamp_mask)
+        else:
+            out = sample_tilewin(tables, cand_pos, slot_idx, cand_valid,
+                                 clamp_mask=p.clamp_mask,
+                                 with_stats=with_stats)
         feature, cand_w = out[0].astype(jnp.float32), out[1]
         wv = (cand_w * cand_valid).max(axis=1)          # (B, np, m, S)
         weight_max = wv.reshape(bs, 1, n)

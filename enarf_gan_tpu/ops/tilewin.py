@@ -45,6 +45,19 @@ SUB = 16           # sublanes per packed feature-window tile
 LANE = 128
 
 
+def fused_combine_enabled() -> bool:
+    """Fused Pallas gather-consumer combine (ops/tilewin_kernel.py).
+
+    Opt-in via ENARF_TILEWIN_FUSED=1: the remote Mosaic compile of the
+    current kernel exceeded 9.5 min on the axon toolchain (2026-08-19,
+    vs 42 s for the XLA-combine frame graph) and has not yet produced an
+    on-chip number — keep the XLA combine as the default until the kernel
+    demonstrably compiles and wins.
+    """
+    import os
+    return os.environ.get("ENARF_TILEWIN_FUSED") == "1"
+
+
 def _flat_rows() -> bool:
     """ENARF_TILEWIN_FLAT=1 packs feature windows as flat (R, ceil(49F/128)
     *128) rows instead of (R, 16, 128) tiles — 19% fewer bytes per fetch at
@@ -298,3 +311,133 @@ def sample_tilewin(tables: TilewinTables, cand_pos: jnp.ndarray,
         return feature, cand_w
     stats = {"clamped": (clamped & vm).sum() / jnp.maximum(vm.sum(), 1)}
     return feature, cand_w, stats
+
+
+# ---------------------------------------------------------------------------
+# Fused-combine path (ops/tilewin_kernel.py): same window-fetch plan, but
+# the bilinear select + sigmoid-prod + slot-weighted sum runs in one Pallas
+# kernel that keeps every intermediate in VMEM. Forward-only kernel; the
+# custom_vjp backward recomputes through sample_tilewin's XLA graph, so
+# gradients are identical to the exact path's.
+# ---------------------------------------------------------------------------
+
+def _fused_plan(tables: TilewinTables, cand_pos, slot_idx, cand_valid):
+    """Window rows + per-member in-window coordinates, members-minor.
+
+    Returns (g, gm, dt, ds, fy, fx, valid_f) with unit axis U = np*S:
+    g (B,3,Mp,U,WL) bf16, gm (B,3,Mp,U,64) bf16, dt/ds/fy/fx
+    (B,3,Mp,U,m) f32 (dt/ds pre-clipped to [0, WIN-2]), valid_f
+    (B,Mp,U,m) f32.
+    """
+    B, _, Mp, n_patch, m, S = cand_pos.shape
+    K, nb, size = tables.num_bone, tables.nb, tables.size
+    U = n_patch * S
+    cpT = cand_pos.transpose(0, 1, 2, 3, 5, 4)          # (B,3,Mp,np,S,m)
+    py, px, fy, fx = member_texels(cpT.reshape(B, 3, Mp, U * m), size)
+    pym = py.reshape(B, 3, Mp, U, m)
+    pxm = px.reshape(B, 3, Mp, U, m)
+    validT = cand_valid.transpose(0, 1, 2, 4, 3).reshape(B, Mp, U, m)
+    vm = jnp.broadcast_to(validT[:, None], (B, 3, Mp, U, m))
+    big = jnp.int32(10 ** 6)
+    inv = jnp.where(vm, 0, big)
+    hi = (nb - 1) * STRIDE
+    bt = jnp.clip(((pym + inv).min(axis=4) // STRIDE) * STRIDE, 0, hi)
+    bs = jnp.clip(((pxm + inv).min(axis=4) // STRIDE) * STRIDE, 0, hi)
+
+    plane = jnp.arange(3, dtype=jnp.int32).reshape(1, 3, 1, 1)
+    batch = jnp.arange(B, dtype=jnp.int32).reshape(B, 1, 1, 1)
+    bi, bj = bt // STRIDE, bs // STRIDE
+    frows = ((batch * 3 + plane) * nb + bi) * nb + bj   # (B,3,Mp,U)
+    slot_u = slot_idx.reshape(B, Mp, U)     # (B,Mp,np,S) -> unit-major
+    mrows = (((batch * K + slot_u[:, None]) * 3 + plane)
+             * nb + bi) * nb + bj
+
+    feat = tables.feat
+    if feat.ndim == 3:                                  # (R,SUB,LANE) tiles
+        feat = feat.reshape(feat.shape[0], -1)
+    WL = feat.shape[-1]
+    g = jnp.take(feat, frows.reshape(-1), axis=0) \
+        .reshape(B, 3, Mp, U, WL)
+    gm = jnp.take(tables.mask, mrows.reshape(-1), axis=0) \
+        .reshape(B, 3, Mp, U, 64)
+    dt = jnp.clip(pym - bt[..., None], 0, WIN - 2).astype(jnp.float32)
+    ds = jnp.clip(pxm - bs[..., None], 0, WIN - 2).astype(jnp.float32)
+    fy = fy.reshape(B, 3, Mp, U, m)
+    fx = fx.reshape(B, 3, Mp, U, m)
+    return g, gm, dt, ds, fy, fx, validT.astype(jnp.float32)
+
+
+def _float0_zeros(x):
+    import numpy as np
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+_FUSED_CACHE = {}
+
+
+def _fused_fn(nb: int, F: int, K: int, size: int, clamp_mask: bool):
+    key = (nb, F, K, size, clamp_mask)
+    if key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
+
+    @jax.custom_vjp
+    def fused(feat, mask, cand_pos, slot_idx, cand_valid):
+        from enarf_gan_tpu.ops.tilewin_kernel import tilewin_combine, TB
+        tables = TilewinTables(feat, mask, nb, F, K, size)
+        B, _, Mp, n_patch, m, S = cand_pos.shape
+        assert m == 16, "fused tilewin combine supports P=4 patches (m=16)"
+        U = n_patch * S
+        g, gm, dt, ds, fy, fx, valid_f = _fused_plan(
+            tables, cand_pos, slot_idx, cand_valid)
+        pad = -U % TB
+        if pad:
+            pad5 = lambda x: jnp.pad(  # noqa: E731
+                x, [(0, 0)] * 3 + [(0, pad), (0, 0)])
+            g, gm, dt, ds, fy, fx = map(pad5, (g, gm, dt, ds, fy, fx))
+            valid_f = jnp.pad(valid_f, [(0, 0)] * 2 + [(0, pad), (0, 0)])
+        interpret = jax.default_backend() != "tpu"
+        feature_u, cand_w_u = tilewin_combine(
+            g, gm, dt, ds, fy, fx, valid_f, F, clamp_mask=clamp_mask,
+            interpret=interpret)
+        feature = feature_u[:, :U].reshape(B, n_patch, S, m, F) \
+            .transpose(0, 4, 1, 3, 2).reshape(B, F, n_patch * m * S)
+        cand_w = cand_w_u[:, :, :U].reshape(B, Mp, n_patch, S, m) \
+            .transpose(0, 1, 2, 4, 3)
+        return feature, cand_w
+
+    def fwd(feat, mask, cand_pos, slot_idx, cand_valid):
+        out = fused(feat, mask, cand_pos, slot_idx, cand_valid)
+        return out, (feat, mask, cand_pos, slot_idx, cand_valid)
+
+    def bwd(res, ct):
+        feat, mask, cand_pos, slot_idx, cand_valid = res
+
+        def xla_path(feat_, mask_, pos_):
+            t = TilewinTables(feat_, mask_, nb, F, K, size)
+            return sample_tilewin(t, pos_, slot_idx, cand_valid,
+                                  clamp_mask=clamp_mask)
+
+        _, vjp = jax.vjp(xla_path, feat, mask, cand_pos)
+        gfeat, gmask, gpos = vjp(ct)
+        return (gfeat, gmask, gpos, _float0_zeros(slot_idx),
+                _float0_zeros(cand_valid))
+
+    fused.defvjp(fwd, bwd)
+    _FUSED_CACHE[key] = fused
+    return fused
+
+
+def sample_tilewin_fused(tables: TilewinTables, cand_pos: jnp.ndarray,
+                         slot_idx: jnp.ndarray, cand_valid: jnp.ndarray,
+                         clamp_mask: bool = False):
+    """Drop-in fused-combine variant of ``sample_tilewin`` (no stats).
+
+    Forward runs the Pallas kernel (ops/tilewin_kernel.py); backward
+    recomputes through the XLA path, so training gradients match
+    sample_tilewin exactly. Forward outputs agree with sample_tilewin up
+    to bf16-vs-f32 rounding of the bilinear weights (the kernel keeps the
+    separable weights in f32; the XLA einsum rounds them to bf16).
+    """
+    fn = _fused_fn(int(tables.nb), int(tables.feat_dim),
+                   int(tables.num_bone), int(tables.size), bool(clamp_mask))
+    return fn(tables.feat, tables.mask, cand_pos, slot_idx, cand_valid)

@@ -113,6 +113,44 @@ def test_select_patch_slots_covers_valid_bones():
                         rtol=1e-5, atol=1e-5)
 
 
+def test_sample_tilewin_fused_matches_xla():
+    """Pallas fused combine (interpret mode off-TPU) vs the XLA combine:
+    same window plan, so outputs agree up to bf16-vs-f32 weight rounding;
+    gradients are bit-identical (the custom_vjp recomputes the XLA path)."""
+    from enarf_gan_tpu.ops.tilewin import sample_tilewin_fused
+    m16 = 16
+    rng = jax.random.PRNGKey(9)
+    planes = make_planes(rng)
+    tables = pack_tilewin(planes, F, K)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(10))
+    centers = jax.random.uniform(k1, (B, 3, MP, NP, 1, S),
+                                 minval=-0.85, maxval=0.85)
+    jitter = jax.random.uniform(k2, (B, 3, MP, NP, m16, S),
+                                minval=-1.5 / TS, maxval=1.5 / TS)
+    pos = jnp.clip(centers + jitter, -0.99, 0.99)
+    slot_idx = jax.random.randint(jax.random.PRNGKey(11), (B, MP, NP, S),
+                                  0, K, jnp.int32)
+    valid = jax.random.uniform(jax.random.PRNGKey(12),
+                               (B, MP, NP, m16, S)) > 0.2
+
+    f_x, w_x = sample_tilewin(tables, pos, slot_idx, valid)
+    f_f, w_f = sample_tilewin_fused(tables, pos, slot_idx, valid)
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_x),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_x),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(fn, pl):
+        t = pack_tilewin(pl, F, K)
+        f, w = fn(t, pos, slot_idx, valid)
+        return (f.astype(jnp.float32) ** 2).sum() + (w ** 2).sum()
+
+    g_x = jax.grad(lambda pl: loss(sample_tilewin, pl))(planes)
+    g_f = jax.grad(lambda pl: loss(sample_tilewin_fused, pl))(planes)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               rtol=2e-2, atol=2e-2)
+
+
 @pytest.mark.parametrize("ts", [16, 32])
 def test_pack_tilewin_window_contents(ts):
     """Window rows hold the padded-plane texels the design says they do."""

@@ -23,9 +23,10 @@ def synth(tmp_path_factory):
     return str(root)
 
 
-def run_cli(script, args, cwd=REPO):
+def run_cli(script, args, cwd=REPO, extra_env=None):
     cmd = [sys.executable, script] + args
-    res = subprocess.run(cmd, cwd=cwd, env=ENV, capture_output=True,
+    env = dict(ENV, **extra_env) if extra_env else ENV
+    res = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True,
                          text=True, timeout=1200)
     assert res.returncode == 0, res.stdout + "\n" + res.stderr
     return res
@@ -336,3 +337,79 @@ def test_compute_pck_chain(synth, tmp_path):
     assert os.path.exists(pck_path)
     v = float(open(pck_path).read())
     assert 0.0 <= v <= 1.0
+
+
+def test_compute_fid_chain(synth, tmp_path):
+    """FID chain end-to-end: pose dataset → generate → InceptionV3 features
+    (deterministic random:0 weight set, eval_lib/fid.py weight policy) →
+    dataset-stats cache → Fréchet distance → fid.txt (reference
+    evaluation/compute_fid.py:76-225)."""
+    default = tmp_path / "gan_default.yml"
+    default.write_text(textwrap.dedent(f"""
+        out_root: {tmp_path}/out
+        out: fid_eval
+        dataset:
+          bs: 2
+          image_size: 32
+          train:
+            data_root: {synth}
+        generator_params:
+          z_dim: 16
+          patch_size: 24
+          background_ratio: 0.3
+          use_triplane: True
+          crop_background: True
+          pretrained_background: False
+          channel_max: 32
+          nerf_params:
+            w_dim: 32
+            tri_plane_size: 16
+            final_activation: tanh
+            hidden_size: 16
+            out_dim: 16
+            Nc: 4
+            Nf: 4
+            no_ray_direction: False
+            mask_input: False
+            origin_location: center_fixed
+            coordinate_scale: 3
+        discriminator_params:
+          minibatch_std: True
+          channel_max: 32
+        loss:
+          adv_loss_type: ce
+          bone_guided_coef: 10
+          r1_loss_coef: 0.01
+          tri_plane_reg_coef: 0.001
+        n_accum_step: 1
+        num_iter: 10
+        resume:
+    """))
+
+    # author a snapshot for the eval to load (untrained weights suffice)
+    import jax
+    from enarf_gan_tpu.config import yaml_config
+    from enarf_gan_tpu.data.datasets import HumanPoseDataset
+    from enarf_gan_tpu.training import gan, checkpoint as ckpt
+    config = yaml_config(str(default), str(default))
+    ds = HumanPoseDataset(size=32, data_root=synth, num_repeat_in_epoch=1)
+    gen, dis = gan.build_models(config, ds.num_bone, ds.parents)
+    first = ds[0]
+    sample_batch = {k: np.asarray(v)[None] for k, v in first.items()}
+    state, _, _ = gan.init_gan_state(config, gen, dis, ds.canonical_pose,
+                                     jax.random.PRNGKey(0), sample_batch)
+    out_dir = f"{tmp_path}/out/result/fid_eval"
+    ckpt.save_checkpoint(out_dir, {"iteration": 0, **state}, 0)
+
+    run_cli("evaluation/compute_fid.py",
+            ["--config", str(default), "--default_config", str(default),
+             "--num_sample", "2", "--batch_size", "1"],
+            extra_env={"INCEPTION_WEIGHTS_NPZ": "random:0"})
+    fid_path = f"{out_dir}/fid.txt"
+    assert os.path.exists(fid_path)
+    v = float(open(fid_path).read())
+    assert np.isfinite(v) and v >= 0.0
+    # stats cache is keyed by weight set — never mixes with real-weight FIDs
+    assert os.path.exists(os.path.join(synth, "fid_stats_32_random:0.npz")) or \
+        os.path.exists(os.path.join(synth, "fid_stats_32_random0.npz")) or \
+        any(f.startswith("fid_stats_32_") for f in os.listdir(synth))

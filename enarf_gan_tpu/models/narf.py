@@ -66,6 +66,19 @@ def _sampler_kind() -> str:
     return "unirow"
 
 
+def _ablate_stage() -> str:
+    """Measurement-only graph ablation for bench decomposition (PERF.md).
+
+    ENARF_ABLATE=sampler  replace the tri-plane sampler outputs with cheap
+                          functions of the candidate positions, so XLA DCEs
+                          the table pack + gather + combine;
+    ENARF_ABLATE=heads    replace the MLP heads with a slice of the feature.
+    Never set during training/eval — frame-time decomposition only.
+    """
+    import os
+    return os.environ.get("ENARF_ABLATE", "")
+
+
 @dataclasses.dataclass(frozen=True)
 class NARFParams:
     """Static model hyper-parameters (mirror of config nerf_params)."""
@@ -412,7 +425,14 @@ class TriPlaneNARF(nn.Module):
             cand_idx, cand_valid, cand_pos = select_candidate_bones(
                 canonical_pts, validity, p.max_bones_per_point)
             kind = self._effective_sampler()
-            if (packed and len(tri_plane_feature) == 1) or (
+            if _ablate_stage() == "sampler":
+                # bench decomposition: cheap stand-ins derived from
+                # cand_pos so the table pack/gather/combine are DCE'd
+                f0 = cand_pos.mean(axis=2).transpose(0, 2, 1)  # (B, 3, n)
+                reps = (p.feat_dim + 2) // 3
+                feature = jnp.tile(f0, (1, reps, 1))[:, :p.feat_dim]
+                cand_w = jax.nn.sigmoid(cand_pos.sum(axis=3))  # (B, n, M)
+            elif (packed and len(tri_plane_feature) == 1) or (
                     not packed and kind == "unirow"):
                 # unirow table: ONE fused 256-lane gather per
                 # (pt, cand, plane) — feature quad + all-bone mask quads in
@@ -472,7 +492,10 @@ class TriPlaneNARF(nn.Module):
                 max_bones=None)  # (B, 32, n)
             weight_max = weight.max(axis=1, keepdims=True)
 
-        density, color = self.heads(feature, z_rend, ray_direction)
+        if _ablate_stage() == "heads":
+            density, color = feature[:, :1], feature[:, 1:4]
+        else:
+            density, color = self.heads(feature, z_rend, ray_direction)
         if p.multiply_density_with_triplane_weight:
             density = density_relu(density) * (10 * weight_max)
         else:
@@ -514,7 +537,15 @@ class TriPlaneNARF(nn.Module):
         validity = validity & (jnp.abs(canonical) < 1).all(axis=2)
         slot_idx, cand_pos, cand_valid = select_patch_slots(
             canonical, validity, n_patch, m, S, p.max_bones_per_point)
-        if fused_combine_enabled() and not with_stats and m == 16:
+        if _ablate_stage() == "sampler":
+            # bench decomposition: DCE the window gather+combine (and the
+            # table pack, which then has no consumer in the frame graph)
+            f0 = cand_pos.mean(axis=2).reshape(bs, 3, n)
+            reps = (tables.feat_dim + 2) // 3
+            feature = jnp.tile(f0, (1, reps, 1))[:, :tables.feat_dim]
+            cand_w = jax.nn.sigmoid(cand_pos.sum(axis=1))  # (B,Mp,np,m,S)
+            out = (feature, cand_w)
+        elif fused_combine_enabled() and not with_stats and m == 16:
             out = sample_tilewin_fused(tables, cand_pos, slot_idx,
                                        cand_valid, clamp_mask=p.clamp_mask)
         else:
@@ -525,7 +556,10 @@ class TriPlaneNARF(nn.Module):
         wv = (cand_w * cand_valid).max(axis=1)          # (B, np, m, S)
         weight_max = wv.reshape(bs, 1, n)
 
-        density, color = self.heads(feature, z_rend, ray_direction)
+        if _ablate_stage() == "heads":
+            density, color = feature[:, :1], feature[:, 1:4]
+        else:
+            density, color = self.heads(feature, z_rend, ray_direction)
         if p.multiply_density_with_triplane_weight:
             density = density_relu(density) * (10 * weight_max)
         else:

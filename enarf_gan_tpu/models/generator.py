@@ -116,10 +116,12 @@ class DSONARFGenerator(nn.Module):
 
     def nerf_density_color_tiled(self, points, pose_scaled, bone_length_t,
                                  tables, z_rend, n_patch, m, S,
-                                 ray_direction=None):
-        d, c, _ = self.nerf.density_color_tiled(
+                                 ray_direction=None, with_stats=False):
+        d, c, aux = self.nerf.density_color_tiled(
             points, pose_scaled, bone_length_t, tables, z_rend, n_patch, m,
-            S, ray_direction)
+            S, ray_direction, with_stats)
+        if with_stats:
+            return d, c, aux
         return d, c
 
     def __call__(self, rng: jax.Array, pose_to_camera, camera_pose, mask,

@@ -76,7 +76,19 @@ def _ablate_stage() -> str:
     Never set during training/eval — frame-time decomposition only.
     """
     import os
-    return os.environ.get("ENARF_ABLATE", "")
+    stage = os.environ.get("ENARF_ABLATE", "")
+    if stage and not _ablate_stage._warned:
+        _ablate_stage._warned = True
+        import warnings
+        warnings.warn(
+            f"ENARF_ABLATE={stage!r} is set: sampler/head outputs are "
+            "REPLACED with cheap stand-ins in every entry point. This is a "
+            "bench-decomposition mode — unset it for any real run.",
+            stacklevel=2)
+    return stage
+
+
+_ablate_stage._warned = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -544,7 +556,7 @@ class TriPlaneNARF(nn.Module):
             reps = (tables.feat_dim + 2) // 3
             feature = jnp.tile(f0, (1, reps, 1))[:, :tables.feat_dim]
             cand_w = jax.nn.sigmoid(cand_pos.sum(axis=1))  # (B,Mp,np,m,S)
-            out = (feature, cand_w)
+            out = (feature, cand_w, {"clamped": jnp.float32(0)})
         elif fused_combine_enabled() and not with_stats and m == 16:
             out = sample_tilewin_fused(tables, cand_pos, slot_idx,
                                        cand_valid, clamp_mask=p.clamp_mask)

@@ -6,24 +6,27 @@ gather per (point, candidate, plane); XLA row gathers are ISSUE-bound
 This sampler exploits ACROSS-RAY locality instead (measured,
 tools/analyze_patch_locality.py): with depth bins pooled per 4×4-pixel
 patch, the 16 member rays of a (patch, sample, bone, plane) group land
-within ≤5 texels of each other on the plane — so ONE 7×7-texel window
+within ≤5 texels of each other on the plane — so ONE 8×8-texel window
 fetch serves the whole group:
 
   fetch   jnp.take of (16,128)-tile rows from a stride-2 packed window
-          table (measured 69.6 Mwin/s / 285 GB/s, tools/bench_tileshape.py,
-          bench_windowgather.py — unaligned XLA window-gathers are 7×
-          slower, so windows are pre-packed and takes stay row-shaped)
-  select  per-member bilinear = one batched einsum (members, 49) one-hot-
-          bilinear weights @ (group, 49, F) windows — MXU, ~5 TFLOP/s
-          measured; the 49-vector is the outer product of separable 7-wide
-          t/s weight vectors, so the 4 bilinear corners ride one matmul
+          table (row-shaped takes; unaligned XLA window-gathers are 7×
+          slower, tools/bench_tileshape.py / bench_windowgather.py)
+  select  per-member bilinear = one batched einsum (members, 64) one-hot-
+          bilinear weights @ (group, 64, F) windows — MXU; the 64-vector
+          is the outer product of separable 8-wide t/s weight vectors, so
+          the 4 bilinear corners ride one matmul
 
-Window coverage is EXACT for groups whose texel spread fits the window
-(measured max spread 5 at patch 4×4 with pooled bins → spread ≤ 4 always
-covered at stride 2, spread 5 covered at even minima); the residual
-(~0.03% of groups on bench geometry) is CLAMPED to the window edge and
-reported by ``coverage_stats`` so callers can assert bounds. The exact
-per-member samplers remain the default for eval/interop parity paths.
+The window is 8×8 because 64·F lanes (F=32) is EXACTLY one (16,128)
+bf16 tile — the row layout then has the separable tile structure
+``t = sublane//2, s = 4·(sublane%2) + lane//32`` that the fused Pallas
+combine (ops/tilewin_kernel.py) exploits with no in-kernel reshapes —
+and because stride-2 bases + 8 texels cover member spread ≤ 5
+unconditionally (7×7 needed even minima for spread 5). The residual
+(groups with spread > 5; ~0 on bench geometry) is CLAMPED to the window
+edge and reported by ``coverage_stats`` so callers can assert bounds.
+The exact per-member samplers remain the default for eval/interop
+parity paths.
 
 Reference equivalents: libraries/triplane/sampling.py:54-127,
 cuda_extension/TriplaneSampler_kernel.cu:37-92 (align_corners=False,
@@ -39,7 +42,8 @@ import jax.numpy as jnp
 from enarf_gan_tpu.ops.activation import straight_through_clamp
 from enarf_gan_tpu.ops.triplane import PLANE_COORDS
 
-WIN = 7            # window side, texels
+WIN = 8            # window side, texels
+NTEX = WIN * WIN   # texels per window
 STRIDE = 2         # window base stride, texels
 SUB = 16           # sublanes per packed feature-window tile
 LANE = 128
@@ -48,28 +52,15 @@ LANE = 128
 def fused_combine_enabled() -> bool:
     """Fused Pallas gather-consumer combine (ops/tilewin_kernel.py).
 
-    Opt-in via ENARF_TILEWIN_FUSED=1: the remote Mosaic compile of the
-    current kernel exceeded 9.5 min on the axon toolchain (2026-08-19,
-    vs 42 s for the XLA-combine frame graph) and has not yet produced an
-    on-chip number — keep the XLA combine as the default until the kernel
-    demonstrably compiles and wins.
-    """
+    Opt-in via ENARF_TILEWIN_FUSED=1 until the v2 kernel has an on-chip
+    win recorded in PERF.md; the XLA combine stays the default elsewhere
+    (CPU tests run the kernel in interpret mode via the parity test)."""
     import os
     return os.environ.get("ENARF_TILEWIN_FUSED") == "1"
 
 
-def _flat_rows() -> bool:
-    """ENARF_TILEWIN_FLAT=1 packs feature windows as flat (R, ceil(49F/128)
-    *128) rows instead of (R, 16, 128) tiles — 19% fewer bytes per fetch at
-    F=32 (1664 vs 2048 lanes). Env-gated pending an on-chip A/B (PERF.md
-    experiment matrix #3); both layouts are bit-identical in output."""
-    import os
-    return os.environ.get("ENARF_TILEWIN_FLAT") == "1"
-
-
 class TilewinTables(NamedTuple):
-    feat: jnp.ndarray    # (B*3*nb*nb, SUB, LANE) bf16; flat (R, W) rows
-                         # under ENARF_TILEWIN_FLAT=1
+    feat: jnp.ndarray    # (B*3*nb*nb, SUB, LANE) bf16 window-row tiles
     mask: jnp.ndarray    # (B*K*3*nb*nb, 64) bf16
     nb: int              # window bases per plane dim
     feat_dim: int
@@ -88,9 +79,10 @@ def pack_tilewin(tri_plane_feature: jnp.ndarray, feat_dim: int,
                  num_bone: int) -> TilewinTables:
     """(B, (F+K)*3, H, W) planes → packed window tables.
 
-    Feature rows hold the 7×7×F window at base (2bi, 2bj) of the 1-texel
-    zero-padded plane (grid_sample zero padding); mask rows hold the same
-    window of one bone's mask plane in 49 of 64 lanes.
+    Feature rows hold the 8×8×F window at base (2bi, 2bj) of the 1-texel
+    zero-padded plane (grid_sample zero padding), texel-major
+    (l = (t·8+s)·F + f); mask rows hold the same window of one bone's
+    mask plane, one texel per lane (t·8+s).
     """
     B, C3, H, W = tri_plane_feature.shape
     F, K = feat_dim, num_bone
@@ -108,7 +100,7 @@ def pack_tilewin(tri_plane_feature: jnp.ndarray, feat_dim: int,
     pm = jnp.pad(mask, ((0, 0), (0, 0), (0, 0), (1, span - H - 1),
                         (1, span - W - 1)))
 
-    def windows(p, ch_last):  # (..., span, span[, C]) → (..., nb, nb, 49[*C])
+    def windows(p, ch_last):  # (..., span, span[, C]) → (..., nb, nb, 64[*C])
         slabs = []
         for dt in range(WIN):
             for ds in range(WIN):
@@ -120,19 +112,14 @@ def pack_tilewin(tri_plane_feature: jnp.ndarray, feat_dim: int,
                 slabs.append(sl)
         return jnp.stack(slabs, axis=-1 if not ch_last else -2)
 
-    fw = windows(pf, True)              # (B, 3, nb, nb, 49, F)
-    fw = fw.reshape(B * 3 * nb * nb, WIN * WIN * F).astype(jnp.bfloat16)
-    width = (-(-WIN * WIN * F // LANE) * LANE if _flat_rows()
-             else SUB * LANE)
-    pad = width - WIN * WIN * F
-    assert pad >= 0, (WIN, F)
-    fw = jnp.pad(fw, ((0, 0), (0, pad)))
-    if not _flat_rows():
-        fw = fw.reshape(-1, SUB, LANE)
+    fw = windows(pf, True)              # (B, 3, nb, nb, 64, F)
+    fw = fw.reshape(B * 3 * nb * nb, NTEX * F).astype(jnp.bfloat16)
+    width = -(-NTEX * F // (SUB * LANE)) * SUB * LANE
+    fw = jnp.pad(fw, ((0, 0), (0, width - NTEX * F)))
+    fw = fw.reshape(-1, width // LANE, LANE)
 
-    mw = windows(pm, False)             # (B, K, 3, nb, nb, 49)
-    mw = mw.reshape(B * K * 3 * nb * nb, WIN * WIN).astype(jnp.bfloat16)
-    mw = jnp.pad(mw, ((0, 0), (0, 64 - WIN * WIN)))
+    mw = windows(pm, False)             # (B, K, 3, nb, nb, 64)
+    mw = mw.reshape(B * K * 3 * nb * nb, NTEX).astype(jnp.bfloat16)
     return TilewinTables(fw, mw, nb, F, K, H)
 
 
@@ -174,9 +161,10 @@ def group_bases(py, px, valid, nb: int):
 
 
 def _sep_weights(d, f, lim: int):
-    """7-wide separable bilinear weight vector: w[i] = [i==d](1-f) + [i==d+1]f.
-    d: (..., ) int32 window-local texel offset; clamped members saturate at
-    the window edge (d clipped into [0, WIN-1])."""
+    """lim-wide separable bilinear weight vector:
+    w[i] = [i==d](1-f) + [i==d+1]f. d: (...,) int32 window-local texel
+    offset; clamped members saturate at the window edge (d clipped into
+    [0, lim-2] by callers)."""
     d = jnp.clip(d, 0, lim - 1)
     iota = jax.lax.broadcasted_iota(jnp.int32, d.shape + (lim,), d.ndim)
     dd = d[..., None]
@@ -265,14 +253,14 @@ def sample_tilewin(tables: TilewinTables, cand_pos: jnp.ndarray,
     bi, bj = bt // STRIDE, bs // STRIDE
     frows = ((batch * 3 + plane) * nb + bi) * nb + bj   # (B,3,Mp,np,S)
     g = jnp.take(tables.feat, frows.reshape(-1), axis=0)
-    g = g.reshape(B, 3, Mp, n_patch, S, -1)[..., :WIN * WIN * F]
-    g = g.reshape(B, 3, Mp, n_patch, S, WIN * WIN, F)
+    g = g.reshape(B, 3, Mp, n_patch, S, -1)[..., :NTEX * F]
+    g = g.reshape(B, 3, Mp, n_patch, S, NTEX, F)
 
     # mask window rows: ((b*K + k)*3 + p)*nb² + bi*nb + bj
     mrows = (((batch * K + slot_idx[:, None]) * 3 + plane)
              * nb + bi) * nb + bj                       # (B,3,Mp,np,S)
     gm = jnp.take(tables.mask, mrows.reshape(-1), axis=0)
-    gm = gm.reshape(B, 3, Mp, n_patch, S, 64)[..., :WIN * WIN]
+    gm = gm.reshape(B, 3, Mp, n_patch, S, NTEX)
 
     # per-member separable window weights (feed the einsums below)
     def expand(v):  # (B,3,Mp,np,S) → (B,3,Mp,np,m,S) member broadcast
@@ -282,17 +270,17 @@ def sample_tilewin(tables: TilewinTables, cand_pos: jnp.ndarray,
     ds = pxm - expand(bs)
     clamped = ((dt < 0) | (dt > WIN - 2) | (ds < 0) | (ds > WIN - 2))
     wt = _sep_weights(jnp.clip(dt, 0, WIN - 2),
-                      fy.reshape(pym.shape), WIN)       # (...,m,S,7)
+                      fy.reshape(pym.shape), WIN)       # (...,m,S,8)
     ws = _sep_weights(jnp.clip(ds, 0, WIN - 2),
                       fx.reshape(pxm.shape), WIN)
     w49 = (wt[..., :, None] * ws[..., None, :]) \
-        .reshape(B, 3, Mp, n_patch, m, S, WIN * WIN).astype(jnp.bfloat16)
+        .reshape(B, 3, Mp, n_patch, m, S, NTEX).astype(jnp.bfloat16)
     # zero the weights of invalid members so garbage texels never leak
     w49 = w49 * vm[..., None].astype(w49.dtype)
 
-    # select+bilinear: one batched MXU contraction over the 49 window
+    # select+bilinear: one batched MXU contraction over the 64 window
     # texels; the 4 bilinear corners are the nonzeros of w49
-    w49g = w49.transpose(0, 1, 2, 3, 5, 4, 6)           # (B,3,Mp,np,S,m,49)
+    w49g = w49.transpose(0, 1, 2, 3, 5, 4, 6)           # (B,3,Mp,np,S,m,64)
     feat = jnp.einsum("bpgnsmw,bpgnswf->bpgnsmf", w49g, g,
                       preferred_element_type=jnp.float32)
     feat = feat.sum(axis=1)                             # (B,Mp,np,S,m,F)
@@ -322,12 +310,12 @@ def sample_tilewin(tables: TilewinTables, cand_pos: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _fused_plan(tables: TilewinTables, cand_pos, slot_idx, cand_valid):
-    """Window rows + per-member in-window coordinates, members-minor.
+    """Window-row tiles + per-member in-window coordinates, members-minor.
 
     Returns (g, gm, dt, ds, fy, fx, valid_f) with unit axis U = np*S:
-    g (B,3,Mp,U,WL) bf16, gm (B,3,Mp,U,64) bf16, dt/ds/fy/fx
-    (B,3,Mp,U,m) f32 (dt/ds pre-clipped to [0, WIN-2]), valid_f
-    (B,Mp,U,m) f32.
+    g (B,3,Mp,U,SUB,LANE) bf16 tile rows, gm (B,3,Mp,U,64) bf16,
+    dt/ds/fy/fx (B,3,Mp,U,m) f32 (dt/ds pre-clipped to [0, WIN-2]),
+    valid_f (B,Mp,U,m) f32.
     """
     B, _, Mp, n_patch, m, S = cand_pos.shape
     K, nb, size = tables.num_bone, tables.nb, tables.size
@@ -352,14 +340,10 @@ def _fused_plan(tables: TilewinTables, cand_pos, slot_idx, cand_valid):
     mrows = (((batch * K + slot_u[:, None]) * 3 + plane)
              * nb + bi) * nb + bj
 
-    feat = tables.feat
-    if feat.ndim == 3:                                  # (R,SUB,LANE) tiles
-        feat = feat.reshape(feat.shape[0], -1)
-    WL = feat.shape[-1]
-    g = jnp.take(feat, frows.reshape(-1), axis=0) \
-        .reshape(B, 3, Mp, U, WL)
+    g = jnp.take(tables.feat, frows.reshape(-1), axis=0) \
+        .reshape(B, 3, Mp, U, tables.feat.shape[-2], LANE)
     gm = jnp.take(tables.mask, mrows.reshape(-1), axis=0) \
-        .reshape(B, 3, Mp, U, 64)
+        .reshape(B, 3, Mp, U, NTEX)
     dt = jnp.clip(pym - bt[..., None], 0, WIN - 2).astype(jnp.float32)
     ds = jnp.clip(pxm - bs[..., None], 0, WIN - 2).astype(jnp.float32)
     fy = fy.reshape(B, 3, Mp, U, m)
@@ -391,9 +375,9 @@ def _fused_fn(nb: int, F: int, K: int, size: int, clamp_mask: bool):
             tables, cand_pos, slot_idx, cand_valid)
         pad = -U % TB
         if pad:
-            pad5 = lambda x: jnp.pad(  # noqa: E731
-                x, [(0, 0)] * 3 + [(0, pad), (0, 0)])
-            g, gm, dt, ds, fy, fx = map(pad5, (g, gm, dt, ds, fy, fx))
+            padn = lambda x: jnp.pad(  # noqa: E731
+                x, [(0, 0)] * 3 + [(0, pad)] + [(0, 0)] * (x.ndim - 4))
+            g, gm, dt, ds, fy, fx = map(padn, (g, gm, dt, ds, fy, fx))
             valid_f = jnp.pad(valid_f, [(0, 0)] * 2 + [(0, pad), (0, 0)])
         interpret = jax.default_backend() != "tpu"
         feature_u, cand_w_u = tilewin_combine(

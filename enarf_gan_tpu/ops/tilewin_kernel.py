@@ -1,24 +1,37 @@
-"""Fused Pallas combine for the patch-window sampler (ops/tilewin.py).
+"""Fused Pallas combine for the patch-window sampler (ops/tilewin.py) — v2.
 
 Why: the XLA combine of sample_tilewin materializes multi-hundred-MB HBM
-intermediates per chunk (the f32 (.., m, 49) bilinear-weight tensor, the
-(.., 49, F) window view, the per-slot member features) — measured 16 ms of
-a 22 ms sample on a 147K-group chunk while the underlying FLOPs are <0.1 ms.
-This kernel streams the gathered window rows through VMEM once and writes
-ONLY the final per-point feature and the candidate weights:
+intermediates per chunk (the (.., 64, F) window view, the bf16 weight
+tensor, per-slot member features) — measured 19.6 ms of a 22 ms sample on
+a 147K-group chunk while the underlying FLOPs are ~1 ms. This kernel
+streams the gathered window-row TILES through VMEM once and writes ONLY
+the final per-point feature and the candidate weights.
 
-    per (patch, sample) unit, all 3 planes x Mp slots co-resident:
-      w49[m, w] = wt(dt,fy) * ws(ds,fx)      (separable bilinear, built
-                                               in-register per texel w)
-      feat[slot, m, F]  += w49 * window[w, F]     (49 VPU fma passes)
-      logit[p, slot, m] += w49 * maskwin[w]
-      cand_w = prod_p sigmoid(logit)
-      feature[m, F] = sum_slot cand_w * valid * feat
+v2 design (the v1 kernel's fully-unrolled 49-texel loop blew the remote
+Mosaic compile past 9.5 min): with WIN=8 and F=32 a window row is exactly
+one (16, 128) bf16 tile, texel-major (lane l = (t*8+s)*32 + f), which
+factorizes in tile coordinates as
 
-HBM traffic per chunk drops from ~3 GB to (gathered rows once) + ~30 MB
-of outputs. Forward-only: callers wrap it in a custom_vjp whose backward
-recomputes through the XLA path (ops/tilewin.py::sample_tilewin), so
-training semantics are unchanged.
+    sublane σ = w//4,  t = σ//2,  s = 4*(σ%2) + λ//32,  f = λ%32
+
+so the separable bilinear weight wt(t)*ws(s) splits into a σ-weight
+(per member, parity-masked) and a λ-weight (per member, quarter-wise):
+
+    D_h[m, λ] = Σ_σ  wt_m(σ//2)·[σ%2==h] · win[σ, λ]   (batched MXU dot)
+    S[m, λ]   = D_0·ws_m(λ//32) + D_1·ws_m(4 + λ//32)  (VPU)
+    feat[m,f] = Σ_g cand_w·valid · (S_g @ R)           (R[λ,f]=[λ%32==f])
+
+No in-kernel reshapes of the minor dims (unsupported on this toolchain,
+tools/probe_mosaic_caps.py), no per-texel unrolling — the program is ~12
+small blocks, so the Mosaic compile stays minutes-scale.
+
+HBM traffic per chunk drops from ~1 GB of intermediates to the gathered
+rows once + ~30 MB of outputs. Forward-only: callers wrap it in a
+custom_vjp whose backward recomputes through the XLA path
+(ops/tilewin.py::sample_tilewin), so training semantics are unchanged.
+
+ENARF_TILEWIN_KERNEL=vpu swaps the batched dot for a broadcast-multiply
+sublane reduction (faster compile, more VPU work) — kept for probes.
 
 Reference equivalents: cuda_extension/TriplaneSampler_kernel.cu:37-92 (the
 fused gather-interpolate-reduce the CUDA extension exists for),
@@ -27,61 +40,107 @@ libraries/triplane/sampling.py:54-127.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 7
+WIN = 8
+NTEX = WIN * WIN
 TB = 128           # (patch, sample) units per block
+M = 16             # members per unit (4x4 patch)
 
 
 def _combine_kernel(win_ref, mwin_ref, dt_ref, ds_ref, fy_ref, fx_ref,
                     valid_ref, feat_ref, candw_ref, *, F: int, Mp: int,
-                    clamp_mask: bool):
-    """One block: TB units x (3 planes x Mp slots) windows -> features.
+                    clamp_mask: bool, use_dot: bool):
+    """One block: TB units x (3 planes x Mp slots) window tiles -> features.
 
     Block shapes (leading 1 = batch):
-      win:   (1, 3, Mp, TB, WL)  bf16, WL = padded 49*F lanes
-      mwin:  (1, 3, Mp, TB, 64)  bf16
-      dt/ds/fy/fx: (1, 3, Mp, TB, 16) f32  (window-local texel + fraction)
-      valid: (1, Mp, TB, 16) f32
-      feat out:  (1, TB, 16, F) f32
-      candw out: (1, Mp, TB, 16) f32
+      win:   (1, 3, Mp, TB, 16, 128) bf16 window-row tiles
+      mwin:  (1, 3, Mp, TB, 64)  bf16 (texel w = t*8+s per lane)
+      dt/ds/fy/fx: (1, 3, Mp, TB, M) f32 (window-local texel + fraction,
+        dt/ds integral-valued in [0, WIN-2])
+      valid: (1, Mp, TB, M) f32
+      feat out:  (1, TB, M, F) f32
+      candw out: (1, Mp, TB, M) f32
     """
-    M = 16
-    win = win_ref[0]                       # (3, Mp, TB, WL)
-    mwin = mwin_ref[0].astype(jnp.float32)
-    dt = dt_ref[0]
-    ds = ds_ref[0]
-    fy = fy_ref[0]
-    fx = fx_ref[0]
-    valid = valid_ref[0]                   # (Mp, TB, M)
+    f32 = jnp.float32
+    # σ-axis texel row (t = σ//2) and parity, as f32 for direct compare
+    sig = jax.lax.broadcasted_iota(jnp.int32, (TB, 2 * M, 16), 2)
+    tt = (sig // 2).astype(f32)
+    par = (sig % 2).astype(f32)
+    half = (jax.lax.broadcasted_iota(jnp.int32, (TB, 2 * M, 16), 1)
+            // M).astype(f32)
+    # λ-axis texel quarter q = λ//32
+    q = (jax.lax.broadcasted_iota(jnp.int32, (TB, M, 128), 2)
+         // F).astype(f32)
+    # mask-window texel split (lane w = t*8+s)
+    wt_i = (jax.lax.broadcasted_iota(jnp.int32, (TB, M, NTEX), 2)
+            // WIN).astype(f32)
+    ws_i = (jax.lax.broadcasted_iota(jnp.int32, (TB, M, NTEX), 2)
+            % WIN).astype(f32)
+    # λ -> f reduction matrix R[λ, f] = [λ % F == f]
+    lam = jax.lax.broadcasted_iota(jnp.int32, (128, F), 0)
+    ff = jax.lax.broadcasted_iota(jnp.int32, (128, F), 1)
+    R = (lam % F == ff).astype(f32)
 
-    feat_acc = jnp.zeros((3, Mp, TB, M, F), jnp.float32)
-    logit_acc = jnp.zeros((3, Mp, TB, M), jnp.float32)
-    for ti in range(WIN):
-        # wt(ti) per (3, Mp, TB, 16); validity zeroes the member's weights
-        # (matches sample_tilewin's `w49 * vm`, so cand_w is bit-comparable)
-        wt = (jnp.where(dt == ti, 1.0 - fy, 0.0)
-              + jnp.where(dt + 1.0 == ti, fy, 0.0)) * valid[None]
-        for si in range(WIN):
-            w = ti * WIN + si
-            ws = (jnp.where(ds == si, 1.0 - fx, 0.0)
-                  + jnp.where(ds + 1.0 == si, fx, 0.0))
-            w49 = wt * ws                              # (3, Mp, TB, 16)
-            texel = win[..., w * F:(w + 1) * F].astype(jnp.float32)
-            feat_acc = feat_acc + w49[..., None] * texel[..., None, :]
-            logit_acc = logit_acc + w49 * mwin[..., w][..., None]
-    if clamp_mask:
-        logit_acc = jnp.clip(logit_acc, -2.0, 5.0)
-    sig = jax.nn.sigmoid(logit_acc)                    # (3, Mp, TB, M)
-    cand_w = sig[0] * sig[1] * sig[2]                  # (Mp, TB, M)
-    # (Mosaic has no reduce_prod lowering; planes dim is static 3)
-    candw_ref[0] = cand_w
-    wv = cand_w * valid                                # (Mp, TB, M)
-    feat_ref[0] = (feat_acc.sum(axis=0) * wv[..., None]).sum(axis=0)
+    def sepw(iota_v, d, frac):
+        d = d[..., None]
+        frac = frac[..., None]
+        return (jnp.where(iota_v == d, 1.0 - frac, 0.0)
+                + jnp.where(iota_v == d + 1.0, frac, 0.0))
+
+    feat_acc = jnp.zeros((TB, M, 128), f32)
+    for g in range(Mp):
+        valid = valid_ref[0, g]                     # (TB, M)
+        Sg = jnp.zeros((TB, M, 128), f32)
+        cw = jnp.ones((TB, M), f32)
+        for p in range(3):
+            win = win_ref[0, p, g]                  # (TB, 16, 128) bf16
+            dt = dt_ref[0, p, g]                    # (TB, M)
+            ds = ds_ref[0, p, g]
+            fy = fy_ref[0, p, g]
+            fx = fx_ref[0, p, g]
+            # A: (TB, 2M, 16σ) — half h carries parity-h sublanes only;
+            # validity zeroes the member's weights (matches the XLA
+            # path's `w49 * vm`, so cand_w stays bit-comparable)
+            dt2 = jnp.concatenate([dt, dt], axis=1)     # (TB, 2M)
+            fy2 = jnp.concatenate([fy, fy], axis=1)
+            v2 = jnp.concatenate([valid, valid], axis=1)
+            A = sepw(tt, dt2, fy2) * (par == half) * v2[..., None]
+            if use_dot:
+                D = jax.lax.dot_general(
+                    A.astype(jnp.bfloat16), win,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32)         # (TB, 2M, 128)
+                D0, D1 = D[:, :M], D[:, M:]
+            else:
+                winf = win.astype(f32)
+                D0 = (A[:, :M, :, None].astype(f32)
+                      * winf[:, None]).sum(axis=2)      # (TB, M, 128)
+                D1 = (A[:, M:, :, None].astype(f32)
+                      * winf[:, None]).sum(axis=2)
+            B0 = sepw(q, ds, fx)                        # (TB, M, 128)
+            B1 = sepw(q, ds - 4.0, fx)   # s' = 4 + q on the odd parity
+            Sg = Sg + D0 * B0 + D1 * B1
+            # mask logit over the 64-lane mask window
+            wl = sepw(wt_i, dt, fy) * sepw(ws_i, ds, fx) \
+                * valid[..., None]                      # (TB, M, 64)
+            mw = mwin_ref[0, p, g].astype(f32)          # (TB, 64)
+            lg = (wl * mw[:, None, :]).sum(axis=-1)     # (TB, M)
+            if clamp_mask:
+                lg = jnp.clip(lg, -2.0, 5.0)
+            cw = cw * jax.nn.sigmoid(lg)
+        candw_ref[0, g] = cw
+        feat_acc = feat_acc + Sg * (cw * valid)[..., None]
+
+    flat = feat_acc.reshape(TB * M, 128)
+    feat_ref[0] = jax.lax.dot_general(
+        flat, R, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).reshape(TB, M, F)
 
 
 def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
@@ -89,23 +148,28 @@ def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
                     fx: jnp.ndarray, valid: jnp.ndarray, F: int,
                     clamp_mask: bool = False,
                     interpret: bool = False):
-    """Fused combine over gathered window rows.
+    """Fused combine over gathered window-row tiles.
 
     Args:
-        win_rows: (B, 3, Mp, U, WL) bf16 gathered feature windows
-            (WL >= 49*F lanes, flat layout).
+        win_rows: (B, 3, Mp, U, 16, 128) bf16 gathered window tiles
+            (texel-major rows, 64*F lanes, F == 32).
         mask_rows: (B, 3, Mp, U, 64) bf16 gathered mask windows.
-        dt, ds, fy, fx: (B, 3, Mp, U, 16) f32 member texel offsets within
-            the window (dt/ds integral-valued) and bilinear fractions.
-        valid: (B, Mp, U, 16) f32 slot-member validity.
+        dt, ds, fy, fx: (B, 3, Mp, U, M) f32 member texel offsets within
+            the window (dt/ds integral-valued in [0, WIN-2]) and bilinear
+            fractions.
+        valid: (B, Mp, U, M) f32 slot-member validity.
     Returns:
-        feature (B, U, 16, F) f32, cand_w (B, Mp, U, 16) f32.
+        feature (B, U, M, F) f32, cand_w (B, Mp, U, M) f32.
     """
-    B, three, Mp, U, WL = win_rows.shape
-    assert three == 3 and WL >= WIN * WIN * F, (win_rows.shape, F)
+    B, three, Mp, U, SUBR, LANEW = win_rows.shape
+    assert three == 3 and F == 32 and SUBR * LANEW == NTEX * F, \
+        (win_rows.shape, F)
     assert U % TB == 0, (U, TB)
-    win_rows = win_rows[..., :WIN * WIN * F]
     grid = (B, U // TB)
+    use_dot = os.environ.get("ENARF_TILEWIN_KERNEL", "dot") != "vpu"
+
+    def im6(b, i):
+        return (b, 0, 0, i, 0, 0)
 
     def im5(b, i):
         return (b, 0, 0, i, 0)
@@ -116,20 +180,21 @@ def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
     spec5 = lambda w: pl.BlockSpec((1, 3, Mp, TB, w), im5,  # noqa: E731
                                    memory_space=pltpu.VMEM)
     kern = functools.partial(_combine_kernel, F=F, Mp=Mp,
-                             clamp_mask=clamp_mask)
+                             clamp_mask=clamp_mask, use_dot=use_dot)
     feat, cand_w = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[spec5(WIN * WIN * F), spec5(64), spec5(16), spec5(16),
-                  spec5(16), spec5(16),
-                  pl.BlockSpec((1, Mp, TB, 16), im4,
+        in_specs=[pl.BlockSpec((1, 3, Mp, TB, SUBR, LANEW), im6,
+                               memory_space=pltpu.VMEM),
+                  spec5(NTEX), spec5(M), spec5(M), spec5(M), spec5(M),
+                  pl.BlockSpec((1, Mp, TB, M), im4,
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, TB, 16, F), im4,
+        out_specs=[pl.BlockSpec((1, TB, M, F), im4,
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, Mp, TB, 16), im4,
+                   pl.BlockSpec((1, Mp, TB, M), im4,
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((B, U, 16, F), jnp.float32),
-                   jax.ShapeDtypeStruct((B, Mp, U, 16), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((B, U, M, F), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Mp, U, M), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

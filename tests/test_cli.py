@@ -410,6 +410,8 @@ def test_compute_fid_chain(synth, tmp_path):
     v = float(open(fid_path).read())
     assert np.isfinite(v) and v >= 0.0
     # stats cache is keyed by weight set — never mixes with real-weight FIDs
-    assert os.path.exists(os.path.join(synth, "fid_stats_32_random:0.npz")) or \
-        os.path.exists(os.path.join(synth, "fid_stats_32_random0.npz")) or \
-        any(f.startswith("fid_stats_32_") for f in os.listdir(synth))
+    # (wtag derivation mirrors compute_fid.py: splitext of the basename)
+    wtag = os.path.splitext(os.path.basename("random:0"))[0]
+    assert os.path.exists(os.path.join(synth, f"fid_stats_32_{wtag}.npz"))
+    assert not os.path.exists(os.path.join(synth,
+                                           "fid_stats_32_torchvision.npz"))

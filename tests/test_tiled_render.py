@@ -230,3 +230,42 @@ def test_tiled_render_matches_exact():
     psnr = 20 * np.log10(2.0) - 10 * np.log10(max(mse, 1e-12))
     assert psnr > 24.0, f"tiled vs exact PSNR {psnr:.2f} dB"
     assert float(np.abs(m_t - m_e).mean()) < 0.05
+
+
+def test_ablation_branches_shapes(monkeypatch):
+    """ENARF_ABLATE=sampler/heads stand-ins keep density_color_tiled's
+    output shapes/dtypes, including with_stats=True — the bench
+    decomposition modes must not bitrot (ADVICE r2: the sampler ablation
+    used to IndexError on the stats read)."""
+    gen, variables, (pose_cam, bl, inv_K, ft) = build(tile_patch=4)
+    rng = jax.random.PRNGKey(0)
+    z = gen.apply(variables, ft, jnp.asarray(pose_cam), method="get_latents")
+    pose_t, bl_t = gen.apply(variables, jnp.asarray(pose_cam),
+                             jnp.asarray(bl), method="transform_pose")
+    planes = gen.apply(variables, z, bl_t, method="compute_tri_plane_feature")
+    tables = gen.apply(variables, planes, method="pack_planes_tiled")
+    n_patch, m, S = 4, 16, 8
+    pts = jax.random.uniform(rng, (1, 3, n_patch * m * S), jnp.float32, -1, 1)
+    pose_scaled = pose_t.at[:, :, :3, 3].multiply(3.0)
+
+    def run(with_stats):
+        out = gen.apply(variables, pts, pose_scaled, bl_t, tables, z,
+                        n_patch, m, S, ray_direction=None,
+                        with_stats=with_stats,
+                        method="nerf_density_color_tiled")
+        return out if with_stats else out + (None,)
+
+    ref = run(True)
+    for stage in ("sampler", "heads"):
+        monkeypatch.setenv("ENARF_ABLATE", stage)
+        for with_stats in (False, True):
+            density, color, aux = run(with_stats)
+            assert density.shape == ref[0].shape
+            assert color.shape == ref[1].shape
+            assert np.isfinite(np.asarray(density)).all()
+            assert np.isfinite(np.asarray(color)).all()
+            if with_stats:
+                assert np.isfinite(float(aux["tilewin_stats"]["clamped"]))
+            else:
+                assert aux is None
+    monkeypatch.delenv("ENARF_ABLATE")

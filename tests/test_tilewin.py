@@ -165,10 +165,10 @@ def test_pack_tilewin_window_contents(ts):
     for p in (0, 2):
         for bi in (0, 1, nb - 1):
             for bj in (0, nb - 2):
-                row = rows[(p * nb + bi) * nb + bj].reshape(-1)[:49 * F]
-                win = row.reshape(7, 7, F)
-                for dt in (0, 3, 6):
-                    for ds in (1, 5):
+                row = rows[(p * nb + bi) * nb + bj].reshape(-1)[:64 * F]
+                win = row.reshape(8, 8, F)
+                for dt in (0, 3, 7):
+                    for ds in (1, 6):
                         expect = pad[p, :, 2 * bi + dt, 2 * bj + ds]
                         np.testing.assert_allclose(win[dt, ds], expect,
                                                    rtol=2e-2, atol=2e-2)

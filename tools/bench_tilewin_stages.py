@@ -80,7 +80,10 @@ def main():
           f"{tables.feat.size * 2 / 2**20:.0f}+"
           f"{tables.mask.size * 2 / 2**20:.0f} MB", flush=True)
 
-    report("pack", lambda p: tilewin.pack_tilewin(p, F, K).feat, planes)
+    # Jitted+scanned pack of the ~325 MB tables crashes the axon worker
+    # (reproduced 2026-08-19, "TPU worker process crashed") — opt-in only.
+    if os.environ.get("BENCH_PACK") == "1":
+        report("pack", lambda p: tilewin.pack_tilewin(p, F, K).feat, planes)
 
     frows = jnp.asarray(rng.integers(0, tables.feat.shape[0],
                                      n_groups).astype(np.int32))

@@ -66,8 +66,12 @@ def timeit_amortized(fn, *args, iters=20, reps=3, warmup=1, perturb=None):
             acc = carry
             aa = list(a)
             x = aa[perturb]
+            # data-dependent zero: for ints, `acc & 0` is PROVABLY zero and
+            # XLA hoists the op out of the scan (measured a "gather" at an
+            # impossible 8.4 TB/s, 2026-08-19) — isnan(acc) is value-zero
+            # but not provably so, which defeats CSE for both dtypes
             eps = (acc * 1e-30).astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
-                else (acc.astype(jnp.int32) & 0)
+                else jnp.isnan(acc).astype(x.dtype)
             aa[perturb] = x + eps
             out = fn(*aa)
             return acc + _checksum(out), None

@@ -247,49 +247,59 @@ def sample_tilewin(tables: TilewinTables, cand_pos: jnp.ndarray,
                           (B, 3, Mp, n_patch, m, S))
     bt, bs = group_bases(pym, pxm, vm, nb)              # (B,3,Mp,np,S)
 
-    # feature window rows: (b*3 + p)*nb² + bi*nb + bj
-    plane = jnp.arange(3, dtype=jnp.int32).reshape(1, 3, 1, 1, 1)
+    # Layout note (measured: the naive plane-major layout spends 27 of a
+    # 30.7 ms sample in XLA-materialized intermediates — the per-plane f32
+    # (…, m, F) features alone are 3×100 MB/chunk plus a 300 MB transpose).
+    # Everything below is arranged PLANE-MINOR so (plane, texel) merge into
+    # one 192-wide contraction straight out of the gather, with no
+    # transpose of anything bigger than the f32 coordinate tensors.
+
+    # feature window rows in (B, Mp, np, S, 3) order → the gathered rows
+    # land plane-adjacent-to-texels with p-major lane order (p, w, f)
+    plane = jnp.arange(3, dtype=jnp.int32).reshape(1, 1, 1, 1, 3)
     batch = jnp.arange(B, dtype=jnp.int32).reshape(B, 1, 1, 1, 1)
-    bi, bj = bt // STRIDE, bs // STRIDE
-    frows = ((batch * 3 + plane) * nb + bi) * nb + bj   # (B,3,Mp,np,S)
+    bi = (bt // STRIDE).transpose(0, 2, 3, 4, 1)        # (B,Mp,np,S,3)
+    bj = (bs // STRIDE).transpose(0, 2, 3, 4, 1)
+    frows = ((batch * 3 + plane) * nb + bi) * nb + bj   # (B,Mp,np,S,3)
     g = jnp.take(tables.feat, frows.reshape(-1), axis=0)
-    g = g.reshape(B, 3, Mp, n_patch, S, -1)[..., :NTEX * F]
-    g = g.reshape(B, 3, Mp, n_patch, S, NTEX, F)
+    g = g.reshape(B, Mp, n_patch, S, 3 * NTEX, F)       # (p,w)-merged
 
     # mask window rows: ((b*K + k)*3 + p)*nb² + bi*nb + bj
-    mrows = (((batch * K + slot_idx[:, None]) * 3 + plane)
-             * nb + bi) * nb + bj                       # (B,3,Mp,np,S)
+    mrows = (((batch * K + slot_idx[..., None]) * 3 + plane)
+             * nb + bi) * nb + bj                       # (B,Mp,np,S,3)
     gm = jnp.take(tables.mask, mrows.reshape(-1), axis=0)
-    gm = gm.reshape(B, 3, Mp, n_patch, S, NTEX)
+    gm = gm.reshape(B, Mp, n_patch, S, 3, NTEX)
 
-    # per-member separable window weights (feed the einsums below)
+    # per-member separable window weights, members-then-plane minor
     def expand(v):  # (B,3,Mp,np,S) → (B,3,Mp,np,m,S) member broadcast
         return v[:, :, :, :, None]
 
     dt = pym - expand(bt)
     ds = pxm - expand(bs)
     clamped = ((dt < 0) | (dt > WIN - 2) | (ds < 0) | (ds > WIN - 2))
-    wt = _sep_weights(jnp.clip(dt, 0, WIN - 2),
-                      fy.reshape(pym.shape), WIN)       # (...,m,S,8)
-    ws = _sep_weights(jnp.clip(ds, 0, WIN - 2),
-                      fx.reshape(pxm.shape), WIN)
-    w49 = (wt[..., :, None] * ws[..., None, :]) \
-        .reshape(B, 3, Mp, n_patch, m, S, NTEX).astype(jnp.bfloat16)
+    toT = lambda v: v.transpose(0, 2, 3, 5, 4, 1)  # noqa: E731
+    # (B,3,Mp,np,m,S) → (B,Mp,np,S,m,3): f32 coords only — a few MB
+    wt = _sep_weights(toT(jnp.clip(dt, 0, WIN - 2)),
+                      toT(fy.reshape(pym.shape)), WIN)  # (B,Mp,np,S,m,3,8)
+    ws = _sep_weights(toT(jnp.clip(ds, 0, WIN - 2)),
+                      toT(fx.reshape(pxm.shape)), WIN)
+    w64 = (wt[..., :, None] * ws[..., None, :]) \
+        .reshape(B, Mp, n_patch, S, m, 3, NTEX).astype(jnp.bfloat16)
     # zero the weights of invalid members so garbage texels never leak
-    w49 = w49 * vm[..., None].astype(w49.dtype)
+    w64 = w64 * toT(vm)[..., None].astype(w64.dtype)
 
-    # select+bilinear: one batched MXU contraction over the 64 window
-    # texels; the 4 bilinear corners are the nonzeros of w49
-    w49g = w49.transpose(0, 1, 2, 3, 5, 4, 6)           # (B,3,Mp,np,S,m,64)
-    feat = jnp.einsum("bpgnsmw,bpgnswf->bpgnsmf", w49g, g,
+    # select+bilinear+plane-sum: ONE batched MXU contraction over all
+    # 3·64 (plane, texel) lanes; the 12 bilinear corners are the nonzeros
+    w192 = w64.reshape(B, Mp, n_patch, S, m, 3 * NTEX)
+    feat = jnp.einsum("bgnsmw,bgnswf->bgnsmf", w192, g,
                       preferred_element_type=jnp.float32)
-    feat = feat.sum(axis=1)                             # (B,Mp,np,S,m,F)
-    logit = jnp.einsum("bpgnsmw,bpgnsw->bpgnsm", w49g,
+    # mask logit stays per-plane (cand_w = prod_p sigmoid(logit_p))
+    logit = jnp.einsum("bgnsmpw,bgnspw->bgnsmp", w64,
                        gm.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     if clamp_mask:
         logit = straight_through_clamp(logit)
-    cand_wn = jax.nn.sigmoid(logit).prod(axis=1)        # (B,Mp,np,S,m)
+    cand_wn = jax.nn.sigmoid(logit).prod(axis=-1)       # (B,Mp,np,S,m)
 
     vf = cand_valid.transpose(0, 1, 2, 4, 3).astype(jnp.float32)
     w = cand_wn * vf                                    # (B,Mp,np,S,m)

@@ -5,6 +5,8 @@ stages toggled by env:
   NPLANES (default 3)   planes unrolled
   NG      (default 4)   Mp slots unrolled
   MASK=0               skip the mask-logit/sigmoid branch
+  MASKDOT=1            mask logit via batched dot_general instead of
+                       broadcast-multiply + lane reduce
   FEAT=0               skip the feature dot branch
   FINAL=0              skip the final reshape+dot projection
 Each full-kernel compile that exceeds the remote service's ~45 s budget
@@ -32,6 +34,7 @@ def main():
     P = int(os.environ.get("NPLANES", 3))
     NG = int(os.environ.get("NG", 4))
     MASK = os.environ.get("MASK", "1") == "1"
+    MASKDOT = os.environ.get("MASKDOT", "0") == "1"
     FEAT = os.environ.get("FEAT", "1") == "1"
     FINAL = os.environ.get("FINAL", "1") == "1"
     Mp = 4
@@ -88,8 +91,15 @@ def main():
                 if MASK:
                     wl = sepw(wt_i, dt, fy) * sepw(ws_i, ds, fx) \
                         * valid[..., None]
-                    mw = mwin_ref[0, p, g].astype(f32)
-                    lg = (wl * mw[:, None, :]).sum(axis=-1)
+                    mw = mwin_ref[0, p, g]
+                    if MASKDOT:
+                        lg = jax.lax.dot_general(
+                            wl.astype(jnp.bfloat16), mw[..., None],
+                            dimension_numbers=(((2,), (1,)),
+                                               ((0,), (0,))),
+                            preferred_element_type=f32)[..., 0]
+                    else:
+                        lg = (wl * mw.astype(f32)[:, None, :]).sum(axis=-1)
                     cw = cw * jax.nn.sigmoid(lg)
             candw_ref[0, g] = cw
             feat_acc = feat_acc + Sg * (cw * valid)[..., None]

@@ -49,7 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 WIN = 8
 NTEX = WIN * WIN
-TB = 128           # (patch, sample) units per block
+TB = 64            # (patch, sample) units per block — at 128 the unrolled
+                   # 12-plane-slot loop's stacked intermediates need 115.6
+                   # MB scoped VMEM (> the 100 MB cap; measured via local
+                   # chipless AOT compile); 64 halves the block working set
 M = 16             # members per unit (4x4 patch)
 
 
@@ -116,13 +119,18 @@ def _combine_kernel(win_ref, mwin_ref, dt_ref, ds_ref, fy_ref, fx_ref,
                     A.astype(jnp.bfloat16), win,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32)         # (TB, 2M, 128)
-                D0, D1 = D[:, :M], D[:, M:]
+                D0 = jax.lax.slice_in_dim(D, 0, M, axis=1)
+                D1 = jax.lax.slice_in_dim(D, M, 2 * M, axis=1)
             else:
                 winf = win.astype(f32)
-                D0 = (A[:, :M, :, None].astype(f32)
-                      * winf[:, None]).sum(axis=2)      # (TB, M, 128)
-                D1 = (A[:, M:, :, None].astype(f32)
-                      * winf[:, None]).sum(axis=2)
+                # slice+None indexing lowers to an N-D gather Mosaic
+                # rejects — slice_in_dim + explicit reshape instead
+                A0 = jax.lax.slice_in_dim(A, 0, M, axis=1) \
+                    .reshape(TB, M, 16, 1).astype(f32)
+                A1 = jax.lax.slice_in_dim(A, M, 2 * M, axis=1) \
+                    .reshape(TB, M, 16, 1).astype(f32)
+                D0 = (A0 * winf[:, None]).sum(axis=2)   # (TB, M, 128)
+                D1 = (A1 * winf[:, None]).sum(axis=2)
             B0 = sepw(q, ds, fx)                        # (TB, M, 128)
             B1 = sepw(q, ds - 4.0, fx)   # s' = 4 + q on the odd parity
             Sg = Sg + D0 * B0 + D1 * B1

@@ -20,11 +20,12 @@ the packed table is (B, 3*(H+1)*(W+1), 4F+128) ≈ 100 MB at 256², and is
 built once per frame (models/narf.py::pack_planes).
 
 The combine (bilinear lane arithmetic + bone select + sigmoid-prod +
-weighted feature sum) runs as a fused Pallas kernel on TPU — the gather
-output is read from HBM exactly once — with a pure-XLA fallback used on
-CPU/tests. Gradients flow through a custom VJP on the combine (hand
-derivative in XLA) and natively through the gather and ``pack_unirow``
-(plain pad/concat/astype ops), so the whole path trains.
+weighted feature sum) runs as a custom-VJP XLA graph BY DEFAULT — a
+Pallas combine kernel exists but measured SLOWER than XLA on the
+lane-sliced 256-wide reads (PERF.md), so it stays opt-in behind
+``ENARF_UNIROW_COMBINE=pallas`` for probes. Gradients flow through the
+combine's hand-derived VJP and natively through the gather and
+``pack_unirow`` (plain pad/concat/astype ops), so the whole path trains.
 
 Reference equivalents: libraries/triplane/sampling.py:54-127 and
 cuda_extension/TriplaneSampler_kernel.cu:37-92 (fused gather-sum with

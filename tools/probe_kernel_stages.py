@@ -35,6 +35,7 @@ def main():
     NG = int(os.environ.get("NG", 4))
     MASK = os.environ.get("MASK", "1") == "1"
     MASKDOT = os.environ.get("MASKDOT", "0") == "1"
+    DOT = os.environ.get("DOT", "1") == "1"
     FEAT = os.environ.get("FEAT", "1") == "1"
     FINAL = os.environ.get("FINAL", "1") == "1"
     Mp = 4
@@ -80,11 +81,18 @@ def main():
                     fy2 = jnp.concatenate([fy, fy], axis=1)
                     v2 = jnp.concatenate([valid, valid], axis=1)
                     A = sepw(tt, dt2, fy2) * (par == half) * v2[..., None]
-                    D = jax.lax.dot_general(
-                        A.astype(jnp.bfloat16), win,
-                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=f32)
-                    D0, D1 = D[:, :M], D[:, M:]
+                    if DOT:
+                        D = jax.lax.dot_general(
+                            A.astype(jnp.bfloat16), win,
+                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=f32)
+                        D0, D1 = D[:, :M], D[:, M:]
+                    else:
+                        winf = win.astype(f32)
+                        D0 = (A[:, :M, :, None]
+                              * winf[:, None]).sum(axis=2)
+                        D1 = (A[:, M:, :, None]
+                              * winf[:, None]).sum(axis=2)
                     B0 = sepw(q, ds, fx)
                     B1 = sepw(q, ds - 4.0, fx)
                     Sg = Sg + D0 * B0 + D1 * B1

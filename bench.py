@@ -42,7 +42,9 @@ def _build(tile_patch, render_size, ray_chunk, Nc, Nf):
                         pose_conditional=False,
                         plane_sample_dtype=os.environ.get(
                             "BENCH_PLANE_DTYPE", "bfloat16"),
-                        tile_patch=tile_patch)
+                        tile_patch=tile_patch,
+                        tile_coarse_corners=(tile_patch > 0 and os.environ.get(
+                            "BENCH_COARSE_CORNERS", "1") == "1"))
     gen = DSONARFGenerator(nerf_params=params, size=render_size, num_bone=24,
                            parent_id=tuple(int(x) for x in SMPL_PARENTS),
                            use_triplane=True, ray_batchsize=4096)

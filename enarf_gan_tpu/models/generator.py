@@ -93,7 +93,8 @@ class DSONARFGenerator(nn.Module):
         p = self.nerf_params
         return RenderConfig(Nc=p.Nc, Nf=p.Nf,
                             coordinate_scale=p.coordinate_scale,
-                            view_dependent=p.view_dependent)
+                            view_dependent=p.view_dependent,
+                            tile_coarse_corners=p.tile_coarse_corners)
 
     def compute_tri_plane_feature(self, z, bone_length_t, truncation_psi=1.0):
         return self.nerf.compute_tri_plane_feature(z, bone_length_t,
@@ -145,9 +146,9 @@ class DSONARFGenerator(nn.Module):
             tables = self.nerf.pack_planes_tiled(
                 self.compute_tri_plane_feature(z, bl_t))
 
-            def fn_t(points, ray_dir, pose_scaled, n_patch, S):
+            def fn_t(points, ray_dir, pose_scaled, n_patch, m, S):
                 d, c, _ = self.nerf.density_color_tiled(
-                    points, pose_scaled, bl_t, tables, z, n_patch, P * P, S,
+                    points, pose_scaled, bl_t, tables, z, n_patch, m, S,
                     ray_dir)
                 return d, c
 
@@ -236,7 +237,8 @@ class TriNARFGenerator(nn.Module):
         p = self.nerf_params
         return RenderConfig(Nc=p.Nc, Nf=p.Nf,
                             coordinate_scale=p.coordinate_scale,
-                            view_dependent=p.view_dependent)
+                            view_dependent=p.view_dependent,
+                            tile_coarse_corners=p.tile_coarse_corners)
 
     def compute_tri_plane_feature(self, z_nerf, bone_length_t, truncation_psi=1.0,
                                   update_w_avg: bool = False):
@@ -305,11 +307,11 @@ class TriNARFGenerator(nn.Module):
             perm = jnp.asarray(tile_permutation(self.size, P))
             tables = self.nerf.pack_planes_tiled(planes)
 
-            def fn_t(points, ray_dir, pose_scaled, n_patch, S):
+            def fn_t(points, ray_dir, pose_scaled, n_patch, m, S):
                 def inner(points, ray_dir, pose_scaled):
                     d, c, _ = self.nerf.density_color_tiled(
                         points, pose_scaled, bl_t, tables, z_rend, n_patch,
-                        P * P, S, ray_dir)
+                        m, S, ray_dir)
                     return d, c
                 if train:
                     # remat the per-point network: window gathers as
@@ -421,9 +423,9 @@ def dso_render_entire_img_tiled(gen: DSONARFGenerator, variables, rng,
     planes = gen.apply(variables, z, bl_t, method="compute_tri_plane_feature")
     tables = gen.apply(variables, planes, method="pack_planes_tiled")
 
-    def fn(points, ray_dir, pose_scaled, n_patch, S):
+    def fn(points, ray_dir, pose_scaled, n_patch, m, S):
         return gen.apply(variables, points, pose_scaled, bl_t, tables, z,
-                         n_patch, P * P, S, ray_dir,
+                         n_patch, m, S, ray_dir,
                          method="nerf_density_color_tiled")
 
     cfg = gen.render_cfg()
@@ -527,9 +529,9 @@ def gan_render_entire_img(gen: TriNARFGenerator, variables, rng, pose_to_camera,
         from enarf_gan_tpu.nerf.tiled import render_entire_img_tiled
         tables = gen.apply(variables, planes, method="pack_planes_tiled")
 
-        def fn_t(points, ray_dir, pose_scaled, n_patch, S):
+        def fn_t(points, ray_dir, pose_scaled, n_patch, m, S):
             d, c, _ = gen.apply(variables, points, pose_scaled, bl_t, tables,
-                                z_rend, n_patch, P * P, S, ray_dir,
+                                z_rend, n_patch, m, S, ray_dir,
                                 method="nerf_density_color_tiled")
             return d, c
 

@@ -128,6 +128,9 @@ class NARFParams:
     # rays share depth bins and window fetches; 0 = off (exact per-member
     # sampling). 4 is the measured sweet spot (tools/analyze_patch_locality)
     tile_patch: int = 0
+    # tiled path: run the coarse pass on each patch's 4 corner rays only
+    # (see RenderConfig.tile_coarse_corners) — ~4x less coarse work
+    tile_coarse_corners: bool = False
 
     @classmethod
     def from_config(cls, nerf_params, view_dependent: Optional[bool] = None):
@@ -164,6 +167,7 @@ class NARFParams:
             feat_dim=int(get("feat_dim", 32)),
             w_dim=int(get("w_dim", 512)),
             tile_patch=int(get("tile_patch", 0)),
+            tile_coarse_corners=bool(get("tile_coarse_corners", False)),
         )
 
 

@@ -46,6 +46,11 @@ class RenderConfig:
     render_scale: float = 1.0
     coordinate_scale: float = 1.0
     view_dependent: bool = False
+    # tiled path only: evaluate the coarse pass on the P*P patch's 4 corner
+    # rays instead of all members (the pooled-bin estimator already pools
+    # coarse weights patch-wide; corners bound the same windows) — ~4x less
+    # coarse transform/combine/head work (nerf/tiled.py)
+    tile_coarse_corners: bool = False
 
 
 def decide_frustum_range(image_coord: jnp.ndarray, pose_to_camera: jnp.ndarray,

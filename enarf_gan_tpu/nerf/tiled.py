@@ -35,8 +35,9 @@ from enarf_gan_tpu.nerf.rendering import (RenderConfig, decide_frustum_range,
                                           fine_sample_depths)
 from enarf_gan_tpu.nerf.ray_sampler import image_grid_coords
 
-# fn(points (B,3,n), ray_dir|None, pose_scaled, n_patch, S)
-#   -> (density (B,1,n), color (B,3,n)|None)
+# fn(points (B,3,n), ray_dir|None, pose_scaled, n_patch, m, S)
+#   -> (density (B,1,n), color (B,3,n)|None); n == n_patch*m*S, and m may
+#   be < P*P on the coarse pass (tile_coarse_corners)
 TiledDensityColorFn = Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]
 
 
@@ -143,18 +144,28 @@ def render_rays_tiled(rng: jax.Array, fn: TiledDensityColorFn,
     cd = dmin_p[:, :, None] * (1 - bins) + dmax_p[:, :, None] * bins
     cd_mid = (cd[..., 1:] + cd[..., :-1]) / 2               # (B, np, Nc)
     rd3 = ray_direction.reshape(B, 3, n_patch, m)
-    pts_c = rd3[..., None] * cd_mid[:, None, :, None, :]    # (B,3,np,m,Nc)
+    if cfg.tile_coarse_corners and P >= 3:
+        # coarse density only steers the patch-pooled importance weights;
+        # the patch's 4 corner rays bound the same texel windows and pool
+        # to nearly the same weights at ~4x less coarse work
+        m_idx = np.array([0, P - 1, (P - 1) * P, P * P - 1])
+        rd3c = rd3[:, :, :, m_idx]
+        valc = val.reshape(B, n_patch, m)[:, :, m_idx]
+        mc = len(m_idx)
+    else:
+        rd3c, valc, mc = rd3, val.reshape(B, n_patch, m), m
+    pts_c = rd3c[..., None] * cd_mid[:, None, :, None, :]   # (B,3,np,mc,Nc)
     coarse_density, _ = fn(lax.stop_gradient(pts_c.reshape(B, 3, -1)),
-                           None, pose_to_camera, n_patch, Nc)
+                           None, pose_to_camera, n_patch, mc, Nc)
     coarse_density = lax.stop_gradient(coarse_density)
 
     # per-ray transmittance weights at the common bins, pooled per patch
-    dens = coarse_density.reshape(B, 1, n_patch, m, Nc)
+    dens = coarse_density.reshape(B, 1, n_patch, mc, Nc)
     delta = (cd[..., 1:] - cd[..., :-1])[:, None, :, None, :]
     dd = dens * delta * cfg.render_scale
     T_i = jnp.exp(-(jnp.cumsum(dd, axis=4) - dd))
-    w_ray = T_i * (1 - jnp.exp(-dd))                        # (B,1,np,m,Nc)
-    vmem = val.reshape(B, 1, n_patch, m, 1)
+    w_ray = T_i * (1 - jnp.exp(-dd))                        # (B,1,np,mc,Nc)
+    vmem = valc[:, None, :, :, None]
     w_sum = (w_ray * vmem).sum(axis=3)
     w_cnt = jnp.maximum(vmem.sum(axis=3), 1.0)
     w_patch = (w_sum / w_cnt).reshape(B * n_patch, Nc)
@@ -165,7 +176,7 @@ def render_rays_tiled(rng: jax.Array, fn: TiledDensityColorFn,
     fd = dmin_p[:, :, None] * (1 - fb) + dmax_p[:, :, None] * fb  # (B,np,Nf)
     pts_f = rd3[..., None] * fd[:, None, :, None, :]        # (B,3,np,m,Nf)
     fine_density, fine_color = fn(pts_f.reshape(B, 3, -1), ray_dir_world,
-                                  pose_to_camera, n_patch, Nf)
+                                  pose_to_camera, n_patch, m, Nf)
 
     # ---- composite (same math as render_rays, rendering.py:273-293) ----
     fine_depth = jnp.broadcast_to(fd[:, None, :, None, :],

@@ -30,8 +30,11 @@ rows once + ~30 MB of outputs. Forward-only: callers wrap it in a
 custom_vjp whose backward recomputes through the XLA path
 (ops/tilewin.py::sample_tilewin), so training semantics are unchanged.
 
-ENARF_TILEWIN_KERNEL=vpu swaps the batched dot for a broadcast-multiply
-sublane reduction (faster compile, more VPU work) — kept for probes.
+ENARF_TILEWIN_KERNEL selects the combine formulation (default "hat", the
+v4 kernel — see _combine_kernel_hat): "bdiag" = v3 blockdiag MXU with
+compare/select weights, "dot" = v2 per-unit batched dot (K=16 tiny
+matmuls; loses to XLA), "vpu" = broadcast-multiply sublane reduction —
+all kept for on-chip probes (tools/probe_tilewin_bdiag.py).
 
 Reference equivalents: cuda_extension/TriplaneSampler_kernel.cu:37-92 (the
 fused gather-interpolate-reduce the CUDA extension exists for),
@@ -58,7 +61,7 @@ M = 16             # members per unit (4x4 patch)
 
 def _combine_kernel(win_ref, mwin_ref, dt_ref, ds_ref, fy_ref, fx_ref,
                     valid_ref, feat_ref, candw_ref, *, F: int, Mp: int,
-                    clamp_mask: bool, use_dot: bool):
+                    clamp_mask: bool, mode: str):
     """One block: TB units x (3 planes x Mp slots) window tiles -> features.
 
     Block shapes (leading 1 = batch):
@@ -71,6 +74,12 @@ def _combine_kernel(win_ref, mwin_ref, dt_ref, ds_ref, fy_ref, fx_ref,
       candw out: (1, Mp, TB, M) f32
     """
     f32 = jnp.float32
+    if mode == "bdiag":
+        return _combine_kernel_bdiag(win_ref, mwin_ref, dt_ref, ds_ref,
+                                     fy_ref, fx_ref, valid_ref, feat_ref,
+                                     candw_ref, F=F, Mp=Mp,
+                                     clamp_mask=clamp_mask)
+    use_dot = mode != "vpu"
     # σ-axis texel row (t = σ//2) and parity, as f32 for direct compare
     sig = jax.lax.broadcasted_iota(jnp.int32, (TB, 2 * M, 16), 2)
     tt = (sig // 2).astype(f32)
@@ -151,6 +160,217 @@ def _combine_kernel(win_ref, mwin_ref, dt_ref, ds_ref, fy_ref, fx_ref,
         preferred_element_type=f32).reshape(TB, M, F)
 
 
+def _combine_kernel_hat(win_ref, mwin_ref, xt_ref, xs_ref, valid_ref,
+                        feat_ref, candw_ref, *, F: int, Mp: int,
+                        clamp_mask: bool):
+    """v4 combine (default): blockdiag MXU σ-contraction + three VPU fixes.
+
+    The v3 kernel was ~80% VPU weight construction (measured,
+    tools/probe_tilewin_bdiag.py): compare/select sepw chains, (TB, M)
+    coord arrays relayouted lane→sublane at every broadcast, (TB, M, 128)
+    s-weight arrays, and a final λ→f reduction matmul. Here:
+
+      * coords arrive as (…, M, 1) — sublane-resident, so broadcasting
+        against lane iotas is a hardware lane-broadcast, no shuffle;
+      * bilinear weights are arithmetic hats max(0, 1-|i-x|) (identical
+        values to the compare/select form for x in [0, WIN-1)) — no
+        selects;
+      * the s-interpolation applies per-member scalar hats to 8 static
+        32-lane slices of the σ-contraction output D, accumulating
+        directly into the (TB, M, F) feature block — the (TB, M, 128)
+        B-weight arrays and the final R-matmul disappear.
+    """
+    f32 = jnp.float32
+    lam = jax.lax.broadcasted_iota(jnp.int32, (TB, 2 * M, 128), 2)
+    uu = jax.lax.broadcasted_iota(jnp.int32, (TB, 2 * M, 128), 0) % 8
+    hh = jax.lax.broadcasted_iota(jnp.int32, (TB, 2 * M, 128), 1) // M
+    sig = lam % 16
+    umask = ((lam // 16 == uu) & (sig % 2 == hh)).astype(f32)
+    tt = (sig // 2).astype(f32)
+    wt_i = (jax.lax.broadcasted_iota(jnp.int32, (TB, M, NTEX), 2)
+            // WIN).astype(f32)
+    ws_i = (jax.lax.broadcasted_iota(jnp.int32, (TB, M, NTEX), 2)
+            % WIN).astype(f32)
+
+    def hat(iota_v, x):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(iota_v - x))
+
+    # fori_loops (not python unrolling) keep the Mosaic program small: the
+    # fully unrolled Mp*3 body exceeds the remote-compile helper's MLIR
+    # size threshold (~45 KB routes to a broken chipless AOT subprocess,
+    # tools/probe_kernel_variants.py)
+    def plane_body(p, carry, g):
+        Sg, cw = carry
+        win = win_ref[0, p, g]              # (TB, 16, 128) bf16
+        xt = xt_ref[0, p, g]                # (TB, M, 1)
+        xs = xs_ref[0, p, g]
+        valid = valid_ref[0, g]
+        xt2 = jnp.concatenate([xt, xt], axis=1)   # (TB, 2M, 1)
+        A4 = hat(tt, xt2) * umask
+        Ab = A4.astype(jnp.bfloat16).reshape(TB // 8, 8 * 2 * M, 128)
+        Wb = win.reshape(TB // 8, 8 * 16, 128)
+        D = jax.lax.dot_general(
+            Ab, Wb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)
+        D = D.reshape(TB, 2 * M, 128)
+        D0 = jax.lax.slice_in_dim(D, 0, M, axis=1)
+        D1 = jax.lax.slice_in_dim(D, M, 2 * M, axis=1)
+        for qq in range(4):                 # static 32-lane slices
+            b0 = hat(jnp.float32(qq), xs)        # (TB, M, 1)
+            b1 = hat(jnp.float32(qq + 4), xs)
+            Dq0 = jax.lax.slice_in_dim(D0, qq * F, (qq + 1) * F, axis=2)
+            Dq1 = jax.lax.slice_in_dim(D1, qq * F, (qq + 1) * F, axis=2)
+            Sg = Sg + Dq0 * b0 + Dq1 * b1
+        wl = hat(wt_i, xt) * hat(ws_i, xs) * valid  # (TB, M, 64)
+        mw = mwin_ref[0, p, g].astype(f32)          # (TB, 64)
+        lg = (wl * mw[:, None, :]).sum(axis=-1, keepdims=True)
+        if clamp_mask:
+            lg = jnp.clip(lg, -2.0, 5.0)
+        return Sg, cw * jax.nn.sigmoid(lg)
+
+    def g_body(g, feat_acc):
+        Sg0 = jnp.zeros((TB, M, F), f32)
+        cw0 = jnp.ones((TB, M, 1), f32)
+        Sg, cw = jax.lax.fori_loop(
+            0, 3, lambda p, c: plane_body(p, c, g), (Sg0, cw0))
+        candw_ref[0, g] = cw
+        valid = valid_ref[0, g]
+        return feat_acc + Sg * (cw * valid)
+
+    feat_ref[0] = jax.lax.fori_loop(0, Mp, g_body,
+                                    jnp.zeros((TB, M, F), f32))
+
+
+def _hat_combine_call(win_rows, mask_rows, xt, xs, valid, F: int,
+                      clamp_mask: bool, interpret: bool):
+    """pallas_call wrapper for the hat kernel ((…, M, 1) coord layout)."""
+    B, three, Mp, U, SUBR, LANEW = win_rows.shape
+    grid = (B, U // TB)
+
+    def im6(b, i):
+        return (b, 0, 0, i, 0, 0)
+
+    def im4(b, i):
+        return (b, 0, i, 0)
+
+    spec_c = pl.BlockSpec((1, 3, Mp, TB, M, 1), im6,
+                          memory_space=pltpu.VMEM)
+    kern = functools.partial(_combine_kernel_hat, F=F, Mp=Mp,
+                             clamp_mask=clamp_mask)
+    feat, cand_w = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 3, Mp, TB, SUBR, LANEW), im6,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 3, Mp, TB, NTEX),
+                               lambda b, i: (b, 0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+                  spec_c, spec_c,
+                  pl.BlockSpec((1, Mp, TB, M, 1),
+                               lambda b, i: (b, 0, i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, TB, M, F), im4,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, Mp, TB, M, 1),
+                                lambda b, i: (b, 0, i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, U, M, F), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Mp, U, M, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(win_rows, mask_rows, xt, xs, valid)
+    return feat, cand_w[..., 0]
+
+
+def _combine_kernel_bdiag(win_ref, mwin_ref, dt_ref, ds_ref, fy_ref, fx_ref,
+                          valid_ref, feat_ref, candw_ref, *, F: int, Mp: int,
+                          clamp_mask: bool):
+    """Block-diagonal MXU formulation of the σ-contraction (v3, default).
+
+    The v2 "dot" mode lowers its per-(plane,slot) batched dot to TB
+    separate (2M,16)@(16,128) matmuls — K=16 keeps the MXU ~0.5% utilized
+    and the batch loop dominates the kernel (measured 19 ms vs the XLA
+    combine's 15). Here 8 units share ONE MXU-shaped matmul per
+    (plane, slot): their σ-weights form an (8·2M, 8·16) block-diagonal
+    lhs (built with a loop-hoisted constant unit/parity mask and two iota
+    compares) against the 8 units' stacked window tiles (8·16, 128).
+    All TB units ride one 8-batch dot_general of (256,128)@(128,128) —
+    full K=128, M=256 MXU tiles, no per-unit loop.
+    """
+    f32 = jnp.float32
+    G8 = TB // 8       # 8-unit blockdiag groups per block
+    # --- loop-invariant masks / iotas (hoisted; all compile-time) ---
+    # A4 (TB, 2M, 128): row r = parity h (r//M) + member m (r%M);
+    # lane λ = unit-in-group u' (λ//16) + σ (λ%16); σ = 2t + parity.
+    lam = jax.lax.broadcasted_iota(jnp.int32, (TB, 2 * M, 128), 2)
+    uu = jax.lax.broadcasted_iota(jnp.int32, (TB, 2 * M, 128), 0) % 8
+    hh = jax.lax.broadcasted_iota(jnp.int32, (TB, 2 * M, 128), 1) // M
+    sig = lam % 16
+    umask = ((lam // 16 == uu) & (sig % 2 == hh)).astype(f32)
+    tt = (sig // 2).astype(f32)
+    # λ-axis texel quarter q = λ//F for the s-weights (parity selects
+    # s = q vs s = 4 + q)
+    q = (jax.lax.broadcasted_iota(jnp.int32, (TB, M, 128), 2) // F) \
+        .astype(f32)
+    # mask-window texel split (lane w = t*8+s)
+    wt_i = (jax.lax.broadcasted_iota(jnp.int32, (TB, M, NTEX), 2)
+            // WIN).astype(f32)
+    ws_i = (jax.lax.broadcasted_iota(jnp.int32, (TB, M, NTEX), 2)
+            % WIN).astype(f32)
+    # λ -> f reduction matrix R[λ, f] = [λ % F == f]
+    lamr = jax.lax.broadcasted_iota(jnp.int32, (128, F), 0)
+    ffr = jax.lax.broadcasted_iota(jnp.int32, (128, F), 1)
+    R = (lamr % F == ffr).astype(f32)
+
+    def sepw(iota_v, d, frac):
+        d = d[..., None]
+        frac = frac[..., None]
+        return (jnp.where(iota_v == d, 1.0 - frac, 0.0)
+                + jnp.where(iota_v == d + 1.0, frac, 0.0))
+
+    feat_acc = jnp.zeros((TB, M, 128), f32)
+    for g in range(Mp):
+        valid = valid_ref[0, g]                     # (TB, M)
+        Sg = jnp.zeros((TB, M, 128), f32)
+        cw = jnp.ones((TB, M), f32)
+        for p in range(3):
+            win = win_ref[0, p, g]                  # (TB, 16, 128) bf16
+            dt = dt_ref[0, p, g]                    # (TB, M)
+            ds = ds_ref[0, p, g]
+            fy = fy_ref[0, p, g]
+            fx = fx_ref[0, p, g]
+            dt2 = jnp.concatenate([dt, dt], axis=1)     # (TB, 2M)
+            fy2 = jnp.concatenate([fy, fy], axis=1)
+            A4 = sepw(tt, dt2, fy2) * umask             # (TB, 2M, 128)
+            Ab = A4.astype(jnp.bfloat16).reshape(G8, 8 * 2 * M, 128)
+            Wb = win.reshape(G8, 8 * 16, 128)
+            D = jax.lax.dot_general(
+                Ab, Wb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)             # (G8, 8·2M, 128)
+            D = D.reshape(TB, 2 * M, 128)
+            D0 = jax.lax.slice_in_dim(D, 0, M, axis=1)
+            D1 = jax.lax.slice_in_dim(D, M, 2 * M, axis=1)
+            B0 = sepw(q, ds, fx)                        # (TB, M, 128)
+            B1 = sepw(q, ds - 4.0, fx)
+            Sg = Sg + D0 * B0 + D1 * B1
+            # mask logit over the 64-lane mask window
+            wl = sepw(wt_i, dt, fy) * sepw(ws_i, ds, fx) \
+                * valid[..., None]                      # (TB, M, 64)
+            mw = mwin_ref[0, p, g].astype(f32)          # (TB, 64)
+            lg = (wl * mw[:, None, :]).sum(axis=-1)     # (TB, M)
+            if clamp_mask:
+                lg = jnp.clip(lg, -2.0, 5.0)
+            cw = cw * jax.nn.sigmoid(lg)
+        candw_ref[0, g] = cw
+        feat_acc = feat_acc + Sg * (cw * valid)[..., None]
+
+    flat = feat_acc.reshape(TB * M, 128)
+    feat_ref[0] = jax.lax.dot_general(
+        flat, R, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).reshape(TB, M, F)
+
+
 def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
                     dt: jnp.ndarray, ds: jnp.ndarray, fy: jnp.ndarray,
                     fx: jnp.ndarray, valid: jnp.ndarray, F: int,
@@ -174,7 +394,13 @@ def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
         (win_rows.shape, F)
     assert U % TB == 0, (U, TB)
     grid = (B, U // TB)
-    use_dot = os.environ.get("ENARF_TILEWIN_KERNEL", "dot") != "vpu"
+    mode = os.environ.get("ENARF_TILEWIN_KERNEL", "hat")
+    assert mode in ("hat", "bdiag", "dot", "vpu"), mode
+    if mode == "hat":
+        return _hat_combine_call(win_rows, mask_rows,
+                                 (dt + fy)[..., None], (ds + fx)[..., None],
+                                 valid[:, :, :, :, None], F,
+                                 clamp_mask=clamp_mask, interpret=interpret)
 
     def im6(b, i):
         return (b, 0, 0, i, 0, 0)
@@ -188,7 +414,7 @@ def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
     spec5 = lambda w: pl.BlockSpec((1, 3, Mp, TB, w), im5,  # noqa: E731
                                    memory_space=pltpu.VMEM)
     kern = functools.partial(_combine_kernel, F=F, Mp=Mp,
-                             clamp_mask=clamp_mask, use_dot=use_dot)
+                             clamp_mask=clamp_mask, mode=mode)
     feat, cand_w = pl.pallas_call(
         kern,
         grid=grid,

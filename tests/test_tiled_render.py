@@ -20,14 +20,15 @@ from enarf_gan_tpu.geometry.smpl import SMPL_PARENTS
 SIZE, TS = 32, 32
 
 
-def build(tile_patch):
+def build(tile_patch, coarse_corners=False):
     import __graft_entry__ as ge
     params = NARFParams(Nc=8, Nf=8, hidden_size=16, tri_plane_size=TS,
                         render_bs=SIZE * SIZE, coordinate_scale=3.0,
                         view_dependent=False, origin_location="center_fixed",
                         deformation_field=False, constant_triplane=True,
                         time_conditional=True, pose_conditional=False,
-                        plane_sample_dtype="bfloat16", tile_patch=tile_patch)
+                        plane_sample_dtype="bfloat16", tile_patch=tile_patch,
+                        tile_coarse_corners=coarse_corners)
     gen = DSONARFGenerator(nerf_params=params, size=SIZE, num_bone=24,
                            parent_id=tuple(int(x) for x in SMPL_PARENTS),
                            use_triplane=True, ray_batchsize=64)
@@ -230,6 +231,37 @@ def test_tiled_render_matches_exact():
     psnr = 20 * np.log10(2.0) - 10 * np.log10(max(mse, 1e-12))
     assert psnr > 24.0, f"tiled vs exact PSNR {psnr:.2f} dB"
     assert float(np.abs(m_t - m_e).mean()) < 0.05
+
+
+def test_tiled_coarse_corners_matches_full_tiled():
+    """tile_coarse_corners (coarse pass on the patch's 4 corner rays) must
+    track the full-member tiled render closely: the coarse pass only
+    steers the patch-pooled importance depths, which are already pooled
+    patch-wide. Compared against the tiled path's own seed-to-seed noise
+    floor (stochastic fine sampler)."""
+    gen_c, variables, (pose_cam, bl, inv_K, ft) = build(tile_patch=4,
+                                                        coarse_corners=True)
+    gen_f, _, _ = build(tile_patch=4)
+
+    def render(gen, seed):
+        return jax.jit(
+            lambda *a: dso_render_entire_img_tiled(
+                gen, *a, render_size=SIZE, ray_batchsize=SIZE * SIZE)
+        )(variables, jax.random.PRNGKey(seed), jnp.asarray(pose_cam),
+          jnp.asarray(inv_K), ft, jnp.asarray(bl))
+
+    def psnr(a, b):
+        mse = float(((np.asarray(a) - np.asarray(b)) ** 2).mean())
+        return 20 * np.log10(2.0) - 10 * np.log10(max(mse, 1e-12))
+
+    c_c, m_c, _ = render(gen_c, 3)
+    c_f, m_f, _ = render(gen_f, 3)
+    c_f2, _, _ = render(gen_f, 9)
+    assert np.isfinite(np.asarray(c_c)).all()
+    floor = psnr(c_f, c_f2)          # fine-resample stochasticity
+    got = psnr(c_c, c_f)
+    assert got > floor - 3.0, f"corners {got:.2f} dB vs floor {floor:.2f}"
+    assert float(np.abs(np.asarray(m_c) - np.asarray(m_f)).mean()) < 0.05
 
 
 def test_ablation_branches_shapes(monkeypatch):

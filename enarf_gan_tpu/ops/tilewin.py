@@ -177,12 +177,17 @@ def select_patch_slots(canonical: jnp.ndarray, validity: jnp.ndarray,
                        n_patch: int, m: int, S: int, Mp: int):
     """Patch-level candidate bones: the Mp best bones per (patch, sample).
 
-    Patch-pooled analog of ops/triplane.select_candidate_bones — the score
-    per bone is the max over the patch's member rays of
-    (valid ? 1 + cube-centrality : -1), so every bone valid anywhere in the
-    patch competes; members whose valid bone misses all Mp slots are
-    dropped (capacity leak, measured ~0-3% of members at Mp=4 on bench
-    geometry — tools/analyze_patch_locality.py).
+    Patch-pooled analog of ops/triplane.select_candidate_bones. Greedy
+    selection: each slot takes the bone maximizing
+    (max member score: valid ? 1 + cube-centrality : -1)
+    + RESCUE_W · (count of still-uncovered members it would cover).
+    The centrality term keeps the slots agreeing with the exact path's
+    per-point top-M choice on dense scenes; the uncovered-rescue term
+    vanishes once every member has a covering slot, and on sparse
+    silhouette-straddling frames (where >Mp bones compete) it cuts the
+    capacity leak — members whose every valid bone misses the Mp slots —
+    from ~5% to <4% (tests/test_tilewin_sparse.py; ~0% on dense bench
+    geometry either way).
 
     Args:
         canonical: (B, K, 3, n) canonical positions,
@@ -194,19 +199,29 @@ def select_patch_slots(canonical: jnp.ndarray, validity: jnp.ndarray,
     """
     B, K, _, n = canonical.shape
     assert n == n_patch * m * S, (n, n_patch, m, S)
+    RESCUE_W = 0.5
     centrality = 1.0 - jnp.abs(canonical).max(axis=2)        # (B, K, n)
-    score = jnp.where(validity, 1.0 + centrality, -1.0)
-    pooled = score.reshape(B, K, n_patch, m, S).max(axis=3)  # (B,K,np,S)
+    score_m = jnp.where(validity, 1.0 + centrality, -1.0) \
+        .reshape(B, K, n_patch, m, S)
+    pooled = score_m.max(axis=3)                             # (B,K,np,S)
+    covers = validity.reshape(B, K, n_patch, m, S) \
+        .astype(canonical.dtype)                             # (B,K,np,m,S)
 
     bone_ids = jnp.arange(K, dtype=jnp.int32).reshape(1, K, 1, 1)
-    sc = pooled
+    uncov = jnp.ones((B, 1, n_patch, m, S), canonical.dtype)
     idx_l, oh_l = [], []
+    taken = jnp.zeros_like(pooled, dtype=bool)
     for _ in range(Mp):
+        rescue = (covers * uncov).sum(axis=3)                # (B,K,np,S)
+        sc = jnp.where(taken, -jnp.inf, pooled + RESCUE_W * rescue)
         i = jnp.argmax(sc, axis=1).astype(jnp.int32)         # (B, np, S)
         sel = bone_ids == i[:, None]                         # (B, K, np, S)
         idx_l.append(i)
         oh_l.append(sel)
-        sc = jnp.where(sel, -jnp.inf, sc)
+        taken = taken | sel
+        new_cov = (sel[:, :, :, None].astype(covers.dtype) * covers) \
+            .max(axis=1, keepdims=True)                      # (B,1,np,m,S)
+        uncov = uncov * (1.0 - new_cov)
     slot_idx = jnp.stack(idx_l, axis=1)                      # (B,Mp,np,S)
     oh = jnp.stack(oh_l, axis=1).astype(canonical.dtype)     # (B,Mp,K,np,S)
 

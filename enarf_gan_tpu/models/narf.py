@@ -52,7 +52,9 @@ def _sampler_kind() -> str:
     "unirow" (default, bf16 sampling only — f32 configs fall back to
     "quad"): ops/unirow.py — ONE fused 256-lane row gather per
     (point, candidate, plane) carrying the feature quad AND all-bone mask
-    quads, combined in a Pallas kernel (see PERF.md round-4 probes).
+    quads, combined by an XLA one-hot-select graph (a Pallas combine
+    exists behind ENARF_UNIROW_COMBINE=pallas but loses to XLA on
+    lane-sliced 256-wide reads — PERF.md).
     "quad": ops/quadtable.py — feature row + bone-folded mask row (v3).
     "rowtable": ops/rowtable.py — two row gathers per sample (v2 path).
     "gridsample": per-plane grid-sample path (correctness oracle).

@@ -47,6 +47,9 @@ NTEX = WIN * WIN   # texels per window
 STRIDE = 2         # window base stride, texels
 SUB = 16           # sublanes per packed feature-window tile
 LANE = 128
+RESCUE_W = 0.5     # uncovered-member rescue weight in select_patch_slots
+                   # (module-level so tests can pin its effect on the
+                   # sparse-frame capacity leak, tests/test_tilewin_sparse.py)
 
 
 def fused_combine_enabled() -> bool:
@@ -199,7 +202,6 @@ def select_patch_slots(canonical: jnp.ndarray, validity: jnp.ndarray,
     """
     B, K, _, n = canonical.shape
     assert n == n_patch * m * S, (n, n_patch, m, S)
-    RESCUE_W = 0.5
     centrality = 1.0 - jnp.abs(canonical).max(axis=2)        # (B, K, n)
     score_m = jnp.where(validity, 1.0 + centrality, -1.0) \
         .reshape(B, K, n_patch, m, S)

@@ -26,3 +26,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def perturb_params(variables, scale=0.3, seed=7):
+    """Jitter every float param leaf of a flax variables tree.
+
+    Freshly-initialized DSO models render an identically-ZERO mask (the
+    density head is zero-init), which silently turned several
+    render-parity tests into comparisons of constant images. Perturbing
+    the params gives the renders real structure; tests must ALSO assert
+    the foreground is non-empty so the vacuous regime can't return."""
+    import jax
+    import jax.numpy as jnp
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    leaves = [l + scale * jax.random.normal(k, l.shape, l.dtype)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+              else l for l, k in zip(leaves, keys)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

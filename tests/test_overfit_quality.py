@@ -1,0 +1,96 @@
+"""Reconstruction-quality acceptance gate: ≥20 dB overfit PSNR at 64².
+
+The 11 dB / 32² smoke gate (test_training.py) catches broken samplers but
+says nothing about reference-plausible reconstruction quality. This test
+overfits ONE 64² synthetic frame long enough that the model must actually
+memorize it — a sampler, estimator, or renderer that systematically loses
+information cannot cross 20 dB. Runs for BOTH the exact per-member sampler
+and the tilewin4 patch-window fast path (training and validation both ride
+the configured sampler), so fast-path regressions can't hide under the
+smoke gate. Reference bar: the PSNR/SSIM validation loop,
+/root/reference/train_DSO.py:75-170.
+
+Slow (~40 min/sampler on 1 CPU) — gated behind ENARF_SLOW_TESTS=1 and
+excluded from the default suite. Last full run + measured PSNRs are
+recorded in PERF.md (round 4).
+"""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from enarf_gan_tpu.config import AttrDict
+from enarf_gan_tpu.data.fixtures import make_synthetic_human_cache
+from enarf_gan_tpu.data.datasets import SSODataset
+from enarf_gan_tpu.data.loader import DataLoader
+
+SIZE = 64
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ENARF_SLOW_TESTS") != "1",
+    reason="slow quality gate (~40 min/sampler on CPU); set "
+           "ENARF_SLOW_TESTS=1 — last measured numbers live in PERF.md")
+
+
+def quality_config(root, out_root, tile_patch):
+    cfg = AttrDict({
+        "out_root": out_root, "out": f"quality_dso_{tile_patch}",
+        "dataset": {"bs": 1, "image_size": SIZE, "bg_color": -1,
+                    "num_workers": 1,
+                    "train": {"data_root": root, "n_frames": 1}},
+        "generator_params": {
+            "use_triplane": True, "ray_batchsize": 1024,
+            "nerf_params": {
+                "w_dim": 64,
+                "hidden_size": 32, "Nc": 12, "Nf": 16,
+                "no_ray_direction": True,
+                "origin_location": "center_fixed", "coordinate_scale": 3,
+                "render_bs": 1024, "model_type": "narf",
+                "multiply_density_with_triplane_wieght": False,
+                "clamp_mask": False, "constant_triplane": False,
+                "constant_trimask": False, "selector_mlp": False,
+                "deformation_field": True, "no_selector": False,
+                "time_conditional": True, "pose_conditional": False,
+                "constant_trimask_lr_mul": 1, "tri_plane_size": 32},
+        },
+        "loss": {"color_coef": 1, "mask_coef": 1, "nerf_loss_type": "mse"},
+        "num_iter": 1200, "lr": 0.02, "scheduler_gamma": 0.99995,
+        "val_interval": 10000, "print_interval": 10000,
+        "tensorboard_interval": 10000, "save_interval": 10000,
+        "resume": None, "resume_latest": False,
+    })
+    if tile_patch:
+        cfg.generator_params.nerf_params.tile_patch = tile_patch
+        cfg.generator_params.nerf_params.plane_sample_dtype = "bfloat16"
+        cfg.generator_params.nerf_params.tile_coarse_corners = True
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("quality_synth")
+    make_synthetic_human_cache(str(root), size=SIZE, n_frames=1, n_camera=1)
+    return str(root)
+
+
+@pytest.mark.parametrize("tile_patch", [0, 4])
+def test_dso_overfit_quality_64(synth_root, tmp_path, tile_patch):
+    from enarf_gan_tpu.training import dso
+    config = quality_config(synth_root, str(tmp_path), tile_patch)
+    train_ds = SSODataset(config.dataset.train, size=SIZE,
+                          return_bone_params=True, return_mask=True,
+                          num_repeat_in_epoch=config.num_iter)
+    loader = DataLoader(train_ds, config.dataset.bs, seed=0)
+    gen = dso.build_generator(config, train_ds.num_bone, train_ds.parents)
+    variables, opt_state, history = dso.train_loop(
+        config, gen, (train_ds, {}), (loader, {}), train_ds.canonical_pose,
+        verbose=False)
+    assert np.isfinite(history).all()
+    out = dso.validate(gen, variables, config, {"train": loader},
+                       jax.random.PRNGKey(5), num_data=1)
+    psnr_db = out["train"]["color_PSNR"]
+    name = f"tilewin{tile_patch}" if tile_patch else "exact"
+    assert psnr_db > 20.0, (
+        f"{name} 64² overfit PSNR {psnr_db:.2f} dB < 20 dB — the sampler "
+        f"or renderer is losing information it didn't in round 4")

@@ -211,7 +211,9 @@ def test_tile_patch_falls_back_for_selector_variants():
 
 
 def test_tiled_render_matches_exact():
+    from conftest import perturb_params
     gen, variables, (pose_cam, bl, inv_K, ft) = build(tile_patch=4)
+    variables = perturb_params(variables)
     rng = jax.random.PRNGKey(3)
     args = (variables, rng, jnp.asarray(pose_cam), jnp.asarray(inv_K), ft,
             jnp.asarray(bl))
@@ -225,12 +227,17 @@ def test_tiled_render_matches_exact():
     )(*args)
     c_t, m_t, c_e, m_e = map(np.asarray, (c_t, m_t, c_e, m_e))
     assert np.isfinite(c_t).all() and np.isfinite(m_t).all()
+    # the render must have real structure (see conftest.perturb_params) —
+    # an all-zero mask makes every comparison below vacuous
+    assert (m_e > 0.05).sum() > 200, f"degenerate fg: {(m_e > 0.05).sum()}"
     # both paths agree where both consider the ray valid; sampling-pattern
     # differences show up as small residuals, not structure
+    # (measured with perturbed params: 38.9 dB vs the exact path's own
+    # 40.0 dB seed-to-seed floor; mask mean-abs-diff 0.093)
     mse = float(((c_t - c_e) ** 2).mean())
     psnr = 20 * np.log10(2.0) - 10 * np.log10(max(mse, 1e-12))
     assert psnr > 24.0, f"tiled vs exact PSNR {psnr:.2f} dB"
-    assert float(np.abs(m_t - m_e).mean()) < 0.05
+    assert float(np.abs(m_t - m_e).mean()) < 0.15
 
 
 def test_tiled_coarse_corners_matches_full_tiled():
@@ -239,9 +246,11 @@ def test_tiled_coarse_corners_matches_full_tiled():
     steers the patch-pooled importance depths, which are already pooled
     patch-wide. Compared against the tiled path's own seed-to-seed noise
     floor (stochastic fine sampler)."""
+    from conftest import perturb_params
     gen_c, variables, (pose_cam, bl, inv_K, ft) = build(tile_patch=4,
                                                         coarse_corners=True)
     gen_f, _, _ = build(tile_patch=4)
+    variables = perturb_params(variables)
 
     def render(gen, seed):
         return jax.jit(
@@ -258,10 +267,15 @@ def test_tiled_coarse_corners_matches_full_tiled():
     c_f, m_f, _ = render(gen_f, 3)
     c_f2, _, _ = render(gen_f, 9)
     assert np.isfinite(np.asarray(c_c)).all()
+    # real structure required (see conftest.perturb_params)
+    assert (np.asarray(m_f) > 0.05).sum() > 200, "degenerate fg"
+    # measured with perturbed params: corners 40.6 dB vs the tiled path's
+    # own 39.3 dB seed floor — corners sits WITHIN the noise floor
     floor = psnr(c_f, c_f2)          # fine-resample stochasticity
     got = psnr(c_c, c_f)
+    assert floor > 20.0, f"tiled seed floor degenerate: {floor:.2f} dB"
     assert got > floor - 3.0, f"corners {got:.2f} dB vs floor {floor:.2f}"
-    assert float(np.abs(np.asarray(m_c) - np.asarray(m_f)).mean()) < 0.05
+    assert float(np.abs(np.asarray(m_c) - np.asarray(m_f)).mean()) < 0.12
 
 
 def test_ablation_branches_shapes(monkeypatch):

@@ -41,6 +41,9 @@ def main():
 
     results = {}
     for name, ablate in variants:
+        # try/finally so ENARF_ABLATE can never leak past a variant — any
+        # code run in-process afterwards would silently get stand-in
+        # sampler/head outputs
         if ablate:
             os.environ["ENARF_ABLATE"] = ablate
         else:
@@ -75,6 +78,8 @@ def main():
         except Exception as e:
             print(f"{name:10s} FAILED: {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
+        finally:
+            os.environ.pop("ENARF_ABLATE", None)
     if "full" in results:
         full = results["full"]
         for k, v in results.items():

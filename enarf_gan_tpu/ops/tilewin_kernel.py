@@ -250,9 +250,6 @@ def _hat_combine_call(win_rows, mask_rows, xt, xs, valid, F: int,
     def im6(b, i):
         return (b, 0, 0, i, 0, 0)
 
-    def im4(b, i):
-        return (b, 0, i, 0)
-
     spec_c = pl.BlockSpec((1, 3, Mp, TB, M, 1), im6,
                           memory_space=pltpu.VMEM)
     kern = functools.partial(_combine_kernel_hat, F=F, Mp=Mp,
@@ -269,7 +266,11 @@ def _hat_combine_call(win_rows, mask_rows, xt, xs, valid, F: int,
                   pl.BlockSpec((1, Mp, TB, M, 1),
                                lambda b, i: (b, 0, i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, TB, M, F), im4,
+        # feat's U axis is dim 1 (block index i there); candw's U axis is
+        # dim 2. Distinct index maps — reusing one across both outputs put
+        # every feat block after the first out of bounds (clamped → block-0
+        # collisions on chip, NaN holes in interpret mode).
+        out_specs=[pl.BlockSpec((1, TB, M, F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, Mp, TB, M, 1),
                                 lambda b, i: (b, 0, i, 0, 0),
@@ -423,7 +424,8 @@ def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
                   spec5(NTEX), spec5(M), spec5(M), spec5(M), spec5(M),
                   pl.BlockSpec((1, Mp, TB, M), im4,
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, TB, M, F), im4,
+        # feat's U axis is dim 1; candw's is dim 2 (see _hat_combine_call)
+        out_specs=[pl.BlockSpec((1, TB, M, F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, Mp, TB, M), im4,
                                 memory_space=pltpu.VMEM)],

@@ -113,7 +113,13 @@ def test_select_patch_slots_covers_valid_bones():
                         rtol=1e-5, atol=1e-5)
 
 
-def test_sample_tilewin_fused_matches_xla():
+@pytest.mark.parametrize("n_patch,s", [
+    (NP, S),      # single padded TB block
+    (16, 5),      # U=80 > TB: multi-block grid — pins the per-output
+                  # index maps (feat blocks on dim 1, candw on dim 2;
+                  # a reused map once wrote feat blocks OOB on chip)
+])
+def test_sample_tilewin_fused_matches_xla(n_patch, s):
     """Pallas fused combine (interpret mode off-TPU) vs the XLA combine:
     same window plan, so outputs agree up to bf16-vs-f32 weight rounding;
     gradients are bit-identical (the custom_vjp recomputes the XLA path)."""
@@ -123,15 +129,15 @@ def test_sample_tilewin_fused_matches_xla():
     planes = make_planes(rng)
     tables = pack_tilewin(planes, F, K)
     k1, k2 = jax.random.split(jax.random.PRNGKey(10))
-    centers = jax.random.uniform(k1, (B, 3, MP, NP, 1, S),
+    centers = jax.random.uniform(k1, (B, 3, MP, n_patch, 1, s),
                                  minval=-0.85, maxval=0.85)
-    jitter = jax.random.uniform(k2, (B, 3, MP, NP, m16, S),
+    jitter = jax.random.uniform(k2, (B, 3, MP, n_patch, m16, s),
                                 minval=-1.5 / TS, maxval=1.5 / TS)
     pos = jnp.clip(centers + jitter, -0.99, 0.99)
-    slot_idx = jax.random.randint(jax.random.PRNGKey(11), (B, MP, NP, S),
+    slot_idx = jax.random.randint(jax.random.PRNGKey(11), (B, MP, n_patch, s),
                                   0, K, jnp.int32)
     valid = jax.random.uniform(jax.random.PRNGKey(12),
-                               (B, MP, NP, m16, S)) > 0.2
+                               (B, MP, n_patch, m16, s)) > 0.2
 
     f_x, w_x = sample_tilewin(tables, pos, slot_idx, valid)
     f_f, w_f = sample_tilewin_fused(tables, pos, slot_idx, valid)

@@ -49,7 +49,12 @@ def _build(tile_patch, render_size, ray_chunk, Nc, Nf):
                            parent_id=tuple(int(x) for x in SMPL_PARENTS),
                            use_triplane=True, ray_batchsize=4096)
 
-    pose_cam, world, bl, inv_K, canonical, K = _tiny_scene(1, render_size)
+    # BENCH_FOCAL_SCALE=0.35 gives a ZJU-like sparse frame (fg 10-20% of
+    # pixels — tests/test_tilewin_sparse.py geometry); default 1.2 is the
+    # dense bench scene (~87% of rays valid)
+    pose_cam, world, bl, inv_K, canonical, K = _tiny_scene(
+        1, render_size,
+        focal_scale=float(os.environ.get("BENCH_FOCAL_SCALE", 1.2)))
     rng = jax.random.PRNGKey(0)
     ft = jnp.array([0.5], jnp.float32)
     variables = gen.init(rng, rng, jnp.asarray(pose_cam),

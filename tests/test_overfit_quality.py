@@ -11,8 +11,14 @@ smoke gate. Reference bar: the PSNR/SSIM validation loop,
 /root/reference/train_DSO.py:75-170.
 
 Slow (~40 min/sampler on 1 CPU) — gated behind ENARF_SLOW_TESTS=1 and
-excluded from the default suite. Last full run + measured PSNRs are
-recorded in PERF.md (round 4).
+excluded from the default suite. Measured PSNRs from the last full run are
+recorded in PERF.md under "Reconstruction quality" (round 5).
+
+Round-5 note: through round 4 this gate FAILED at exactly the blank-render
+floor (14.81 dB) because the config's lr=0.02 drives a density limit cycle
+(uniform fire → slam to zero, diagnosed in tools/diag_learning.py); the
+reference lr (1e-3, train_DSO.py:204) converges cleanly. The test now also
+computes the blank floor in-test and asserts the margin explicitly.
 """
 import os
 
@@ -55,7 +61,7 @@ def quality_config(root, out_root, tile_patch):
                 "constant_trimask_lr_mul": 1, "tri_plane_size": 32},
         },
         "loss": {"color_coef": 1, "mask_coef": 1, "nerf_loss_type": "mse"},
-        "num_iter": 1200, "lr": 0.02, "scheduler_gamma": 0.99995,
+        "num_iter": 1200, "lr": 0.001, "scheduler_gamma": 0.99995,
         "val_interval": 10000, "print_interval": 10000,
         "tensorboard_interval": 10000, "save_interval": 10000,
         "resume": None, "resume_latest": False,
@@ -91,6 +97,17 @@ def test_dso_overfit_quality_64(synth_root, tmp_path, tile_patch):
                        jax.random.PRNGKey(5), num_data=1)
     psnr_db = out["train"]["color_PSNR"]
     name = f"tilewin{tile_patch}" if tile_patch else "exact"
+    # degenerate baseline computed in-test: a constant-background render
+    # must FAIL this gate by a wide margin (VERDICT r4 Weak #2/#3)
+    from enarf_gan_tpu.eval_lib.metrics import psnr as psnr_fn
+    item = train_ds[0]
+    blank = np.full_like(item["img"][None], config.dataset.bg_color)
+    blank_floor = float(psnr_fn(item["img"][None], blank))
+    print(f"{name}: overfit PSNR {psnr_db:.3f} dB "
+          f"(blank floor {blank_floor:.3f} dB)")
+    assert psnr_db > blank_floor + 5.0, (
+        f"{name} PSNR {psnr_db:.2f} dB is within 5 dB of the blank-render "
+        f"floor {blank_floor:.2f} dB — the model learned only background")
     assert psnr_db > 20.0, (
         f"{name} 64² overfit PSNR {psnr_db:.2f} dB < 20 dB — the sampler "
-        f"or renderer is losing information it didn't in round 4")
+        f"or renderer is losing information it didn't in round 5")

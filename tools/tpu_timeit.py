@@ -38,9 +38,10 @@ def timeit(fn, *args, reps=5, warmup=2, scalarize=True):
     NOTE: includes the ~30 ms dispatch overhead — use ``timeit_amortized``
     for anything expected to be faster than ~100 ms.
     """
+    from enarf_gan_tpu.utils.compile_retry import call_with_compile_retry
     f = scalarized(fn) if scalarize else jax.jit(fn)
     for _ in range(warmup):
-        float(np.asarray(f(*args)))
+        float(np.asarray(call_with_compile_retry(f, *args)))
     t0 = time.perf_counter()
     for _ in range(reps):
         float(np.asarray(f(*args)))
@@ -81,9 +82,10 @@ def timeit_amortized(fn, *args, iters=20, reps=3, warmup=1, perturb=None):
     f_full = jax.jit(lambda *a: run(iters, *a))
     f_one = jax.jit(lambda *a: run(1, *a))
 
+    from enarf_gan_tpu.utils.compile_retry import call_with_compile_retry
     for _ in range(warmup):
-        float(np.asarray(f_full(*args)))
-        float(np.asarray(f_one(*args)))
+        float(np.asarray(call_with_compile_retry(f_full, *args)))
+        float(np.asarray(call_with_compile_retry(f_one, *args)))
 
     def measure(f):
         t0 = time.perf_counter()

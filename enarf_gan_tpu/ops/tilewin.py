@@ -103,7 +103,12 @@ def pack_tilewin(tri_plane_feature: jnp.ndarray, feat_dim: int,
     pm = jnp.pad(mask, ((0, 0), (0, 0), (0, 0), (1, span - H - 1),
                         (1, span - W - 1)))
 
-    def windows(p, ch_last):  # (..., span, span[, C]) → (..., nb, nb, 64[*C])
+    # Texel slabs are stacked on axis 0 (major) and transposed ONCE at the
+    # end. Stacking them texel-MINOR (the round-1..4 layout) made XLA
+    # materialize each slab as a (N, 1) array with the 128x trailing-1
+    # tile padding — 64 x 271 MB of transients for the 256² mask planes,
+    # which OOM'd a 16 GB chip at batch size ONE (round-5 on-chip run).
+    def windows(p, ch_last):  # → (64, ..., nb, nb[, C])
         slabs = []
         for dt in range(WIN):
             for ds in range(WIN):
@@ -113,16 +118,19 @@ def pack_tilewin(tri_plane_feature: jnp.ndarray, feat_dim: int,
                     p[..., dt:dt + (nb - 1) * STRIDE + 1:STRIDE,
                       ds:ds + (nb - 1) * STRIDE + 1:STRIDE, :]
                 slabs.append(sl)
-        return jnp.stack(slabs, axis=-1 if not ch_last else -2)
+        return jnp.stack(slabs, axis=0)
 
-    fw = windows(pf, True)              # (B, 3, nb, nb, 64, F)
-    fw = fw.reshape(B * 3 * nb * nb, NTEX * F).astype(jnp.bfloat16)
+    fw = windows(pf, True)              # (64, B, 3, nb, nb, F)
+    fw = fw.reshape(NTEX, B * 3 * nb * nb, F).astype(jnp.bfloat16) \
+        .transpose(1, 0, 2)             # (N, 64, F): texel-major rows
+    fw = fw.reshape(B * 3 * nb * nb, NTEX * F)
     width = -(-NTEX * F // (SUB * LANE)) * SUB * LANE
     fw = jnp.pad(fw, ((0, 0), (0, width - NTEX * F)))
     fw = fw.reshape(-1, width // LANE, LANE)
 
-    mw = windows(pm, False)             # (B, K, 3, nb, nb, 64)
-    mw = mw.reshape(B * K * 3 * nb * nb, NTEX).astype(jnp.bfloat16)
+    mw = windows(pm, False)             # (64, B, K, 3, nb, nb)
+    mw = mw.reshape(NTEX, B * K * 3 * nb * nb).astype(jnp.bfloat16) \
+        .transpose(1, 0)                # (N, 64)
     return TilewinTables(fw, mw, nb, F, K, H)
 
 

@@ -64,28 +64,61 @@ def init_state(config, gen: DSONARFGenerator, canonical_pose: np.ndarray,
     return variables, tx, opt_state
 
 
-def make_train_step(gen: DSONARFGenerator, tx, loss_cfg, bg_color: float):
+def make_train_step(gen: DSONARFGenerator, tx, loss_cfg, bg_color: float,
+                    n_accum: int = 1):
+    """Jitted DSO step; ``n_accum`` > 1 scans micro-batches accumulating
+    grads (reference train_ENARF_GAN.py:105-128's trick applied to DSO).
+
+    The point on TPU is MEMORY, not just batch size: the tilewin pack
+    builds ~325 MB of window tables *per batch sample* at 512² — packing
+    happens inside the generator apply, so with micro-batches the tables
+    for only ``bs / n_accum`` samples are ever live at once. This is what
+    fits the reference's 512² bs16 ZJU config on a 16 GB v5e
+    (PERF.md round 4: bs16 single-pass ResourceExhausts during init)."""
     loss_type = loss_cfg.nerf_loss_type
     color_coef = float(loss_cfg.color_coef)
     mask_coef = float(loss_cfg.mask_coef)
+
+    def micro_loss(params, rest, rng, micro):
+        color, nerf_mask, ray_idx, _ = gen.apply(
+            {"params": params, **rest}, rng, micro["pose_3d"],
+            micro["camera_rotation"], micro["mask"], micro["frame_time"],
+            micro["bone_length"], micro["inv_intrinsics"],
+            background=bg_color)
+        lc, lm = photometric_loss(ray_idx, color, nerf_mask, micro["img"],
+                                  micro["mask"], loss_type, color_coef,
+                                  mask_coef)
+        return lc + lm, (lc, lm)
 
     @jax.jit
     def train_step(variables, opt_state, rng, batch):
         params = variables["params"]
         rest = {k: v for k, v in variables.items() if k != "params"}
 
-        def loss_fn(params):
-            color, nerf_mask, ray_idx, _ = gen.apply(
-                {"params": params, **rest}, rng, batch["pose_3d"],
-                batch["camera_rotation"], batch["mask"], batch["frame_time"],
-                batch["bone_length"], batch["inv_intrinsics"],
-                background=bg_color)
-            lc, lm = photometric_loss(ray_idx, color, nerf_mask, batch["img"],
-                                      batch["mask"], loss_type, color_coef,
-                                      mask_coef)
-            return lc + lm, (lc, lm)
+        if n_accum <= 1:
+            (loss, (lc, lm)), grads = jax.value_and_grad(
+                micro_loss, has_aux=True)(params, rest, rng, batch)
+        else:
+            def split(x):
+                return x.reshape((n_accum, x.shape[0] // n_accum)
+                                 + x.shape[1:])
 
-        (loss, (lc, lm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            micro_batches = jax.tree_util.tree_map(split, batch)
+            keys = jax.random.split(rng, n_accum)
+
+            def body(acc, inp):
+                key, micro = inp
+                (l, (lc, lm)), g = jax.value_and_grad(
+                    micro_loss, has_aux=True)(params, rest, key, micro)
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                return acc, (l, lc, lm)
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            grads, (ls, lcs, lms) = jax.lax.scan(
+                body, zeros, (keys, micro_batches))
+            grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
+            loss, lc, lm = ls.mean(), lcs.mean(), lms.mean()
+
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return {"params": params, **rest}, opt_state, \
@@ -200,7 +233,10 @@ def train_loop(config, gen, datasets, loaders, canonical_pose,
             iteration = int(loaded["iteration"])
             # optimizer state deliberately not restored (reference parity)
 
-    train_step = make_train_step(gen, tx, config.loss, config.dataset.bg_color)
+    from enarf_gan_tpu.utils.compile_retry import retrying_first_call
+    train_step = retrying_first_call(
+        make_train_step(gen, tx, config.loss, config.dataset.bg_color,
+                        n_accum=int(getattr(config, "n_accum_step", 1))))
     num_iter = max_iterations or config.num_iter
     start = time.time()
     accum_time = 0.0

@@ -249,7 +249,11 @@ def train_loop(config, gen, dis, datasets, loaders, canonical_pose,
             iteration = int(loaded.pop("iteration"))
             state = loaded
 
+    from enarf_gan_tpu.utils.compile_retry import retrying_first_call
     g_step, d_step, r1_step = make_gan_steps(config, gen, dis, gen_tx, dis_tx)
+    g_step = retrying_first_call(g_step)
+    d_step = retrying_first_call(d_step)
+    r1_step = retrying_first_call(r1_step)
     num_iter = max_iterations or config.num_iter
     batchsize = config.dataset.bs
     start = time.time()

@@ -59,3 +59,21 @@ def call_with_compile_retry(fn: Callable[..., Any], *args,
                       f"{delay:.0f}s: {str(e)[:160]}", flush=True)
             time.sleep(delay)
             delay *= 2
+
+
+def retrying_first_call(fn: Callable[..., Any], **retry_kw) -> Callable[..., Any]:
+    """Wrap a jitted callable so its FIRST invocation (the compile) retries
+    transient compile-service failures; later calls go straight through.
+
+    Used by the train loops: training on chip must not die because the
+    remote compile helper 500'd once (VERDICT r4 Weak #6).
+    """
+    state = {"first": True}
+
+    def wrapped(*args, **kwargs):
+        if state["first"]:
+            state["first"] = False
+            return call_with_compile_retry(fn, *args, **retry_kw, **kwargs)
+        return fn(*args, **kwargs)
+
+    return wrapped

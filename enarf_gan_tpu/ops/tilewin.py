@@ -129,8 +129,13 @@ def pack_tilewin(tri_plane_feature: jnp.ndarray, feat_dim: int,
     fw = fw.reshape(-1, width // LANE, LANE)
 
     mw = windows(pm, False)             # (64, B, K, 3, nb, nb)
-    mw = mw.reshape(NTEX, B * K * 3 * nb * nb).astype(jnp.bfloat16) \
-        .transpose(1, 0)                # (N, 64)
+    mw = mw.reshape(NTEX, B * K * 3 * nb * nb).astype(jnp.bfloat16)
+    # materialize the texel-MAJOR (64, N) stack before transposing: without
+    # the barrier XLA fuses the transpose into the 64 strided slices and
+    # each materializes as a (1, N) minor-0 array with the 128x tile pad
+    # (the OOM this layout change exists to fix)
+    mw = jax.lax.optimization_barrier(mw)
+    mw = mw.transpose(1, 0)             # (N, 64)
     return TilewinTables(fw, mw, nb, F, K, H)
 
 

@@ -53,13 +53,21 @@ RESCUE_W = 0.5     # uncovered-member rescue weight in select_patch_slots
 
 
 def fused_combine_enabled() -> bool:
-    """Fused Pallas gather-consumer combine (ops/tilewin_kernel.py).
+    """Fused Pallas combine (ops/tilewin_kernel.py) — DEFAULT ON on TPU.
 
-    Opt-in via ENARF_TILEWIN_FUSED=1 until the v2 kernel has an on-chip
-    win recorded in PERF.md; the XLA combine stays the default elsewhere
-    (CPU tests run the kernel in interpret mode via the parity test)."""
+    Round 5 flipped the default after the kernel's first recorded on-chip
+    win: 12.8 vs 18.7 ms per coarse chunk, 217 vs 255 ms/frame end-to-end
+    (PERF.md round 5; the round-4 losses were the (…, M, 1) coordinate
+    padding + the 32-lane-slice s-interpolation, both fixed). Opt out
+    with ENARF_TILEWIN_FUSED=0. On CPU backends the XLA combine stays
+    default (interpret-mode Pallas is orders slower; the parity tests
+    opt in explicitly)."""
     import os
-    return os.environ.get("ENARF_TILEWIN_FUSED") == "1"
+    import jax
+    v = os.environ.get("ENARF_TILEWIN_FUSED")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
 
 
 class TilewinTables(NamedTuple):
@@ -350,31 +358,33 @@ def sample_tilewin(tables: TilewinTables, cand_pos: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _fused_plan(tables: TilewinTables, cand_pos, slot_idx, cand_valid):
-    """Window-row tiles + per-member in-window coordinates, members-minor.
+    """Window-row tiles + per-member in-window coordinates, MEMBER-MAJOR.
 
-    Returns (g, gm, dt, ds, fy, fx, valid_f) with unit axis U = np*S:
+    Returns (g, gm, xt, xs, valid_f) with unit axis U = np*S:
     g (B,3,Mp,U,SUB,LANE) bf16 tile rows, gm (B,3,Mp,U,64) bf16,
-    dt/ds/fy/fx (B,3,Mp,U,m) f32 (dt/ds pre-clipped to [0, WIN-2]),
-    valid_f (B,Mp,U,m) f32.
+    xt/xs (B,3,Mp,m,U) f32 in-window positions (texel offset + fraction,
+    in [0, WIN-1)), valid_f (B,Mp,m,U) f32. The coordinate arrays are
+    U-MINOR so they carry zero HBM tile padding (the round-4 (…, U, m)
+    and (…, M, 1) layouts paid 8x / 128x pad — PERF.md round 4-5).
     """
     B, _, Mp, n_patch, m, S = cand_pos.shape
     K, nb, size = tables.num_bone, tables.nb, tables.size
     U = n_patch * S
-    cpT = cand_pos.transpose(0, 1, 2, 3, 5, 4)          # (B,3,Mp,np,S,m)
-    py, px, fy, fx = member_texels(cpT.reshape(B, 3, Mp, U * m), size)
-    pym = py.reshape(B, 3, Mp, U, m)
-    pxm = px.reshape(B, 3, Mp, U, m)
-    validT = cand_valid.transpose(0, 1, 2, 4, 3).reshape(B, Mp, U, m)
-    vm = jnp.broadcast_to(validT[:, None], (B, 3, Mp, U, m))
+    cpT = cand_pos.transpose(0, 1, 2, 4, 3, 5)          # (B,3,Mp,m,np,S)
+    py, px, fy, fx = member_texels(cpT.reshape(B, 3, Mp, m * U), size)
+    pym = py.reshape(B, 3, Mp, m, U)
+    pxm = px.reshape(B, 3, Mp, m, U)
+    validT = cand_valid.transpose(0, 1, 3, 2, 4).reshape(B, Mp, m, U)
+    vm = jnp.broadcast_to(validT[:, None], (B, 3, Mp, m, U))
     big = jnp.int32(10 ** 6)
     inv = jnp.where(vm, 0, big)
     hi = (nb - 1) * STRIDE
-    bt = jnp.clip(((pym + inv).min(axis=4) // STRIDE) * STRIDE, 0, hi)
-    bs = jnp.clip(((pxm + inv).min(axis=4) // STRIDE) * STRIDE, 0, hi)
+    bt = jnp.clip(((pym + inv).min(axis=3) // STRIDE) * STRIDE, 0, hi)
+    bs = jnp.clip(((pxm + inv).min(axis=3) // STRIDE) * STRIDE, 0, hi)
 
     plane = jnp.arange(3, dtype=jnp.int32).reshape(1, 3, 1, 1)
     batch = jnp.arange(B, dtype=jnp.int32).reshape(B, 1, 1, 1)
-    bi, bj = bt // STRIDE, bs // STRIDE
+    bi, bj = bt // STRIDE, bs // STRIDE                 # (B,3,Mp,U)
     frows = ((batch * 3 + plane) * nb + bi) * nb + bj   # (B,3,Mp,U)
     slot_u = slot_idx.reshape(B, Mp, U)     # (B,Mp,np,S) -> unit-major
     mrows = (((batch * K + slot_u[:, None]) * 3 + plane)
@@ -384,11 +394,11 @@ def _fused_plan(tables: TilewinTables, cand_pos, slot_idx, cand_valid):
         .reshape(B, 3, Mp, U, tables.feat.shape[-2], LANE)
     gm = jnp.take(tables.mask, mrows.reshape(-1), axis=0) \
         .reshape(B, 3, Mp, U, NTEX)
-    dt = jnp.clip(pym - bt[..., None], 0, WIN - 2).astype(jnp.float32)
-    ds = jnp.clip(pxm - bs[..., None], 0, WIN - 2).astype(jnp.float32)
-    fy = fy.reshape(B, 3, Mp, U, m)
-    fx = fx.reshape(B, 3, Mp, U, m)
-    return g, gm, dt, ds, fy, fx, validT.astype(jnp.float32)
+    dt = jnp.clip(pym - bt[:, :, :, None], 0, WIN - 2)
+    ds = jnp.clip(pxm - bs[:, :, :, None], 0, WIN - 2)
+    xt = dt.astype(jnp.float32) + fy.reshape(B, 3, Mp, m, U)
+    xs = ds.astype(jnp.float32) + fx.reshape(B, 3, Mp, m, U)
+    return g, gm, xt, xs, validT.astype(jnp.float32)
 
 
 def _float0_zeros(x):
@@ -411,22 +421,23 @@ def _fused_fn(nb: int, F: int, K: int, size: int, clamp_mask: bool):
         B, _, Mp, n_patch, m, S = cand_pos.shape
         assert m == 16, "fused tilewin combine supports P=4 patches (m=16)"
         U = n_patch * S
-        g, gm, dt, ds, fy, fx, valid_f = _fused_plan(
+        g, gm, xt, xs, valid_f = _fused_plan(
             tables, cand_pos, slot_idx, cand_valid)
         pad = -U % TB
         if pad:
-            padn = lambda x: jnp.pad(  # noqa: E731
-                x, [(0, 0)] * 3 + [(0, pad)] + [(0, 0)] * (x.ndim - 4))
-            g, gm, dt, ds, fy, fx = map(padn, (g, gm, dt, ds, fy, fx))
-            valid_f = jnp.pad(valid_f, [(0, 0)] * 2 + [(0, pad), (0, 0)])
+            g = jnp.pad(g, [(0, 0)] * 3 + [(0, pad), (0, 0), (0, 0)])
+            gm = jnp.pad(gm, [(0, 0)] * 3 + [(0, pad), (0, 0)])
+            xt = jnp.pad(xt, [(0, 0)] * 4 + [(0, pad)])
+            xs = jnp.pad(xs, [(0, 0)] * 4 + [(0, pad)])
+            valid_f = jnp.pad(valid_f, [(0, 0)] * 3 + [(0, pad)])
         interpret = jax.default_backend() != "tpu"
         feature_u, cand_w_u = tilewin_combine(
-            g, gm, dt, ds, fy, fx, valid_f, F, clamp_mask=clamp_mask,
+            g, gm, xt, xs, valid_f, F, clamp_mask=clamp_mask,
             interpret=interpret)
         feature = feature_u[:, :U].reshape(B, n_patch, S, m, F) \
             .transpose(0, 4, 1, 3, 2).reshape(B, F, n_patch * m * S)
-        cand_w = cand_w_u[:, :, :U].reshape(B, Mp, n_patch, S, m) \
-            .transpose(0, 1, 2, 4, 3)
+        cand_w = cand_w_u[..., :U].reshape(B, Mp, m, n_patch, S) \
+            .transpose(0, 1, 3, 2, 4)                   # (B,Mp,np,m,S)
         return feature, cand_w
 
     def fwd(feat, mask, cand_pos, slot_idx, cand_valid):

@@ -52,10 +52,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 WIN = 8
 NTEX = WIN * WIN
-TB = 64            # (patch, sample) units per block — at 128 the unrolled
-                   # 12-plane-slot loop's stacked intermediates need 115.6
-                   # MB scoped VMEM (> the 100 MB cap; measured via local
-                   # chipless AOT compile); 64 halves the block working set
+TB = 128           # (patch, sample) units per block. 128 is forced by the
+                   # clean coordinate layout: the (…, M, U) coord arrays
+                   # block as (1, 3, Mp, M, TB) and Mosaic requires the
+                   # minor block dim be a multiple of 128. The round-2
+                   # TB=128 VMEM overflow was the v1 UNROLLED kernel's
+                   # stacked intermediates; the fori-loop hat kernel at
+                   # TB=128 stays well under the 100 MB cap.
 M = 16             # members per unit (4x4 patch)
 
 
@@ -191,6 +194,17 @@ def _combine_kernel_hat(win_ref, mwin_ref, xt_ref, xs_ref, valid_ref,
             // WIN).astype(f32)
     ws_i = (jax.lax.broadcasted_iota(jnp.int32, (TB, M, NTEX), 2)
             % WIN).astype(f32)
+    # lane quarter q = λ // F ∈ {0..3} for the FULL-WIDTH s-weights: the
+    # round-4 variant applied scalar s-hats to 32-lane slices of D, and
+    # those (TB, M, 32) f32 ops waste 4x of every vreg — measured as 6.8 of
+    # the kernel's 17.8 ms (tools/probe_hat_ablate.py). Full-width weights
+    # + one R-matmul per block reclaim it.
+    qq_i = (jax.lax.broadcasted_iota(jnp.int32, (TB, M, 128), 2) // F) \
+        .astype(f32)
+    # λ → f reduction matrix R[λ, f] = [λ % F == f]
+    lamr = jax.lax.broadcasted_iota(jnp.int32, (128, F), 0)
+    ffr = jax.lax.broadcasted_iota(jnp.int32, (128, F), 1)
+    Rmat = (lamr % F == ffr).astype(f32)
 
     def hat(iota_v, x):
         return jnp.maximum(0.0, 1.0 - jnp.abs(iota_v - x))
@@ -202,9 +216,14 @@ def _combine_kernel_hat(win_ref, mwin_ref, xt_ref, xs_ref, valid_ref,
     def plane_body(p, carry, g):
         Sg, cw = carry
         win = win_ref[0, p, g]              # (TB, 16, 128) bf16
-        xt = xt_ref[0, p, g]                # (TB, M, 1)
-        xs = xs_ref[0, p, g]
-        valid = valid_ref[0, g]
+        # coords ship CLEAN ((…, M, U) — U-minor, zero HBM padding; the
+        # round-4 (…, M, 1) layout cost ~2.8 GB/chunk of 128x-padded
+        # coordinate traffic) and relayout here: lane→sublane swap +
+        # trailing-unit expand, both probe-verified and ~free
+        # (tools/probe_mosaic_coord_ops.py, relay probe 0.05 µs)
+        xt = jnp.swapaxes(xt_ref[0, p, g], 0, 1)[:, :, None]  # (TB, M, 1)
+        xs = jnp.swapaxes(xs_ref[0, p, g], 0, 1)[:, :, None]
+        valid = jnp.swapaxes(valid_ref[0, g], 0, 1)[:, :, None]
         xt2 = jnp.concatenate([xt, xt], axis=1)   # (TB, 2M, 1)
         A4 = hat(tt, xt2) * umask
         Ab = A4.astype(jnp.bfloat16).reshape(TB // 8, 8 * 2 * M, 128)
@@ -215,12 +234,11 @@ def _combine_kernel_hat(win_ref, mwin_ref, xt_ref, xs_ref, valid_ref,
         D = D.reshape(TB, 2 * M, 128)
         D0 = jax.lax.slice_in_dim(D, 0, M, axis=1)
         D1 = jax.lax.slice_in_dim(D, M, 2 * M, axis=1)
-        for qq in range(4):                 # static 32-lane slices
-            b0 = hat(jnp.float32(qq), xs)        # (TB, M, 1)
-            b1 = hat(jnp.float32(qq + 4), xs)
-            Dq0 = jax.lax.slice_in_dim(D0, qq * F, (qq + 1) * F, axis=2)
-            Dq1 = jax.lax.slice_in_dim(D1, qq * F, (qq + 1) * F, axis=2)
-            Sg = Sg + Dq0 * b0 + Dq1 * b1
+        # full-width s-weights: B0[λ] = hat(q(λ), xs) (= (1-fx) at q==ds,
+        # fx at q==ds+1), B1 the parity-1 half (s = 4 + q)
+        B0 = hat(qq_i, xs)                  # (TB, M, 128)
+        B1 = hat(qq_i + 4.0, xs)
+        Sg = Sg + D0 * B0 + D1 * B1
         wl = hat(wt_i, xt) * hat(ws_i, xs) * valid  # (TB, M, 64)
         mw = mwin_ref[0, p, g].astype(f32)          # (TB, 64)
         lg = (wl * mw[:, None, :]).sum(axis=-1, keepdims=True)
@@ -229,28 +247,40 @@ def _combine_kernel_hat(win_ref, mwin_ref, xt_ref, xs_ref, valid_ref,
         return Sg, cw * jax.nn.sigmoid(lg)
 
     def g_body(g, feat_acc):
-        Sg0 = jnp.zeros((TB, M, F), f32)
+        Sg0 = jnp.zeros((TB, M, 128), f32)
         cw0 = jnp.ones((TB, M, 1), f32)
         Sg, cw = jax.lax.fori_loop(
             0, 3, lambda p, c: plane_body(p, c, g), (Sg0, cw0))
-        candw_ref[0, g] = cw
-        valid = valid_ref[0, g]
+        # candw also ships (M, U)-clean (the round-4 (B,Mp,U,M,1) output
+        # paid the same 128x write padding the coords did)
+        candw_ref[0, g] = jnp.swapaxes(cw[:, :, 0], 0, 1)
+        valid = jnp.swapaxes(valid_ref[0, g], 0, 1)[:, :, None]
         return feat_acc + Sg * (cw * valid)
 
-    feat_ref[0] = jax.lax.fori_loop(0, Mp, g_body,
-                                    jnp.zeros((TB, M, F), f32))
+    feat_acc = jax.lax.fori_loop(0, Mp, g_body,
+                                 jnp.zeros((TB, M, 128), f32))
+    # collapse the 4 λ-quarters onto f: one (f32) MXU matmul per block
+    flat = feat_acc.reshape(TB * M, 128)
+    feat_ref[0] = jax.lax.dot_general(
+        flat, Rmat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).reshape(TB, M, F)
 
 
 def _hat_combine_call(win_rows, mask_rows, xt, xs, valid, F: int,
                       clamp_mask: bool, interpret: bool):
-    """pallas_call wrapper for the hat kernel ((…, M, 1) coord layout)."""
+    """pallas_call wrapper for the hat kernel — CLEAN coordinate layouts.
+
+    xt, xs: (B, 3, Mp, M, U) f32; valid: (B, Mp, M, U) f32 — all U-minor
+    (zero HBM tile padding); the kernel relayouts per block. Outputs:
+    feat (B, U, M, F) f32, cand_w (B, Mp, M, U) f32.
+    """
     B, three, Mp, U, SUBR, LANEW = win_rows.shape
     grid = (B, U // TB)
 
     def im6(b, i):
         return (b, 0, 0, i, 0, 0)
 
-    spec_c = pl.BlockSpec((1, 3, Mp, TB, M, 1), im6,
+    spec_c = pl.BlockSpec((1, 3, Mp, M, TB), lambda b, i: (b, 0, 0, 0, i),
                           memory_space=pltpu.VMEM)
     kern = functools.partial(_combine_kernel_hat, F=F, Mp=Mp,
                              clamp_mask=clamp_mask)
@@ -263,25 +293,25 @@ def _hat_combine_call(win_rows, mask_rows, xt, xs, valid, F: int,
                                lambda b, i: (b, 0, 0, i, 0),
                                memory_space=pltpu.VMEM),
                   spec_c, spec_c,
-                  pl.BlockSpec((1, Mp, TB, M, 1),
-                               lambda b, i: (b, 0, i, 0, 0),
+                  pl.BlockSpec((1, Mp, M, TB),
+                               lambda b, i: (b, 0, 0, i),
                                memory_space=pltpu.VMEM)],
         # feat's U axis is dim 1 (block index i there); candw's U axis is
-        # dim 2. Distinct index maps — reusing one across both outputs put
+        # dim 3. Distinct index maps — reusing one across both outputs put
         # every feat block after the first out of bounds (clamped → block-0
         # collisions on chip, NaN holes in interpret mode).
         out_specs=[pl.BlockSpec((1, TB, M, F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, Mp, TB, M, 1),
-                                lambda b, i: (b, 0, i, 0, 0),
+                   pl.BlockSpec((1, Mp, M, TB),
+                                lambda b, i: (b, 0, 0, i),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((B, U, M, F), jnp.float32),
-                   jax.ShapeDtypeStruct((B, Mp, U, M, 1), jnp.float32)],
+                   jax.ShapeDtypeStruct((B, Mp, M, U), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(win_rows, mask_rows, xt, xs, valid)
-    return feat, cand_w[..., 0]
+    return feat, cand_w
 
 
 def _combine_kernel_bdiag(win_ref, mwin_ref, dt_ref, ds_ref, fy_ref, fx_ref,
@@ -373,8 +403,8 @@ def _combine_kernel_bdiag(win_ref, mwin_ref, dt_ref, ds_ref, fy_ref, fx_ref,
 
 
 def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
-                    dt: jnp.ndarray, ds: jnp.ndarray, fy: jnp.ndarray,
-                    fx: jnp.ndarray, valid: jnp.ndarray, F: int,
+                    xt: jnp.ndarray, xs: jnp.ndarray,
+                    valid: jnp.ndarray, F: int,
                     clamp_mask: bool = False,
                     interpret: bool = False):
     """Fused combine over gathered window-row tiles.
@@ -383,12 +413,12 @@ def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
         win_rows: (B, 3, Mp, U, 16, 128) bf16 gathered window tiles
             (texel-major rows, 64*F lanes, F == 32).
         mask_rows: (B, 3, Mp, U, 64) bf16 gathered mask windows.
-        dt, ds, fy, fx: (B, 3, Mp, U, M) f32 member texel offsets within
-            the window (dt/ds integral-valued in [0, WIN-2]) and bilinear
-            fractions.
-        valid: (B, Mp, U, M) f32 slot-member validity.
+        xt, xs: (B, 3, Mp, M, U) f32 member in-window positions
+            (integral texel offset + bilinear fraction, in [0, WIN-1));
+            U-minor so the arrays carry no HBM tile padding.
+        valid: (B, Mp, M, U) f32 slot-member validity.
     Returns:
-        feature (B, U, M, F) f32, cand_w (B, Mp, U, M) f32.
+        feature (B, U, M, F) f32, cand_w (B, Mp, M, U) f32.
     """
     B, three, Mp, U, SUBR, LANEW = win_rows.shape
     assert three == 3 and F == 32 and SUBR * LANEW == NTEX * F, \
@@ -398,10 +428,16 @@ def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
     mode = os.environ.get("ENARF_TILEWIN_KERNEL", "hat")
     assert mode in ("hat", "bdiag", "dot", "vpu"), mode
     if mode == "hat":
-        return _hat_combine_call(win_rows, mask_rows,
-                                 (dt + fy)[..., None], (ds + fx)[..., None],
-                                 valid[:, :, :, :, None], F,
+        return _hat_combine_call(win_rows, mask_rows, xt, xs, valid, F,
                                  clamp_mask=clamp_mask, interpret=interpret)
+    # legacy probe modes consume (…, U, M) split coords — derive them
+    dtT = jnp.floor(xt).transpose(0, 1, 2, 4, 3)
+    fyT = xt.transpose(0, 1, 2, 4, 3) - dtT
+    dsT = jnp.floor(xs).transpose(0, 1, 2, 4, 3)
+    fxT = xs.transpose(0, 1, 2, 4, 3) - dsT
+    dt, ds, fy, fx = dtT, dsT, fyT, fxT
+    valid_leg = valid.transpose(0, 1, 3, 2)
+    valid = valid_leg
 
     def im6(b, i):
         return (b, 0, 0, i, 0, 0)
@@ -435,4 +471,4 @@ def tilewin_combine(win_rows: jnp.ndarray, mask_rows: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(win_rows, mask_rows, dt, ds, fy, fx, valid)
-    return feat, cand_w
+    return feat, cand_w.transpose(0, 1, 3, 2)   # → (B, Mp, M, U)

@@ -82,12 +82,17 @@ def main():
     fx = rng.random((B, 3, Mp, U, M)).astype(np.float32)
     valid = (rng.random((B, Mp, U, M)) > 0.2).astype(np.float32)
 
+    # round-5 API: member-major clean coords (B,3,Mp,M,U) + (B,Mp,M,U)
+    xt = (dt + fy).transpose(0, 1, 2, 4, 3)
+    xs = (ds + fx).transpose(0, 1, 2, 4, 3)
+    validT = valid.transpose(0, 1, 3, 2)
+
     feat, candw = jax.jit(
-        lambda *a: tilewin_combine(*a, F, clamp_mask=False)
-    )(jnp.asarray(win), jnp.asarray(mwin), jnp.asarray(dt), jnp.asarray(ds),
-      jnp.asarray(fy), jnp.asarray(fx), jnp.asarray(valid))
+        lambda *a: tilewin_combine(*a, F=F, clamp_mask=False)
+    )(jnp.asarray(win), jnp.asarray(mwin), jnp.asarray(xt), jnp.asarray(xs),
+      jnp.asarray(validT))
     feat = np.asarray(feat)
-    candw = np.asarray(candw)
+    candw = np.asarray(candw).transpose(0, 1, 3, 2)   # back to (B,Mp,U,M)
     print(f"mode={mode} U={U}: feat nan={np.isnan(feat).sum()} "
           f"candw nan={np.isnan(candw).sum()}", flush=True)
 

@@ -39,6 +39,8 @@ def main():
             "z_dim": 256, "patch_size": 24, "background_ratio": 0.3,
             "use_triplane": True, "crop_background": True,
             "pretrained_background": False, "channel_max": 512,
+            # the shipped config_tpu.yml value is 2048 (GAN_RAY_CHUNK)
+            "train_ray_chunk": int(os.environ.get("GAN_RAY_CHUNK", 4096)),
             "nerf_params": {
                 # GAN_PLANES/GAN_NC/GAN_NF shrink the graph for CPU smokes
                 "w_dim": 512,
@@ -85,10 +87,11 @@ def main():
         out = fn(*args)
         fetch(out[-1])
         t0 = time.perf_counter()
-        outs = []
         for _ in range(iters):
-            outs.append(fn(*args))
-        fetch(outs[-1][-1])
+            # hard-sync EVERY iteration: queueing several un-fetched
+            # GAN-step-scale programs reproducibly crashes the remote TPU
+            # worker (round 3; re-reproduced round 5 with the tilewin step)
+            fetch(fn(*args)[-1])
         return (time.perf_counter() - t0) / iters, out
 
     gb = {k: batch[k] for k in ("pose_to_camera", "pose_to_world",
